@@ -1,0 +1,122 @@
+"""Bloom mip-chain — TPU-native ComputeBloomDownscale/Upscale.shader.
+
+The reference implements [Jimenez14]-style bloom (via RapidGL): a 13-tap
+downsample with Karis average + quadratic threshold on the first mip, then a
+3x3 tent upsample accumulated back up the chain with lens-dirt on mip 1.
+
+On TPU the workgroup shared-memory tile dance disappears: the taps become
+shifted adds over whole images, which XLA fuses into a handful of
+VPU-saturating loops; the mip chain is a host-side Python loop over static
+shapes (unrolled into the jitted graph).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _luma(rgb):
+    return (
+        rgb[..., 0] * 0.2126729 + rgb[..., 1] * 0.7151522 + rgb[..., 2] * 0.0721750
+    )
+
+
+def _karis_avg(c):
+    return c / (1.0 + _luma(c))[..., None]
+
+
+def quadratic_threshold(color, threshold: float, knee: float):
+    """Soft knee: curve = (threshold - knee, 2*knee, 0.25/knee)."""
+    br = jnp.max(color, axis=-1)
+    rq = jnp.clip(br - (threshold - knee), 0.0, 2.0 * knee)
+    rq = (0.25 / max(knee, 1e-4)) * rq * rq
+    scale = jnp.maximum(rq, br - threshold) / jnp.maximum(br, 1e-4)
+    return color * scale[..., None]
+
+
+def _sample_at(img, dy: int, dx: int):
+    """img shifted by (dy, dx) texels with clamp-to-edge."""
+    h, w = img.shape[:2]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def downsample_13tap(img, *, use_threshold=False, threshold=1.0, knee=0.5):
+    """Half-res downsample with the Jimenez14 13-tap partial Karis average.
+
+    ``img``: (H, W, 3). Returns (H//2, W//2, 3).
+    """
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    # Full-res taps A..M live on the even-coordinate grid around each output
+    # texel; D/E/I/J are the 2x2 averages between them (Jimenez14 layout).
+    full = img[: h2 * 2 : 2, : w2 * 2 : 2]
+
+    def g(dy, dx):
+        return _sample_at(full, dy, dx)
+
+    A, B, C = g(-1, -1), g(-1, 0), g(-1, 1)
+    F, G, H = g(0, -1), g(0, 0), g(0, 1)
+    K, L, M = g(1, -1), g(1, 0), g(1, 1)
+    D = (A + B + G + F) * 0.25
+    E = (B + C + H + G) * 0.25
+    I = (F + G + L + K) * 0.25  # noqa: E741
+    J = (G + H + M + L) * 0.25
+    c = _karis_avg((D + E + I + J) * 0.125)
+    c = c + _karis_avg((A + B + G + F) * 0.03125)
+    c = c + _karis_avg((B + C + H + G) * 0.03125)
+    c = c + _karis_avg((F + G + L + K) * 0.03125)
+    c = c + _karis_avg((G + H + M + L) * 0.03125)
+    if use_threshold:
+        c = quadratic_threshold(c, threshold, knee)
+    return c
+
+
+def upsample_tent(img, out_hw):
+    """3x3 tent-filtered 2x upsample to ``out_hw`` (bilinear + tent)."""
+    h, w = out_hw
+
+    def s(dy, dx):
+        return _sample_at(img, dy, dx)
+
+    tent = (
+        s(-1, -1) + 2 * s(-1, 0) + s(-1, 1)
+        + 2 * s(0, -1) + 4 * s(0, 0) + 2 * s(0, 1)
+        + s(1, -1) + 2 * s(1, 0) + s(1, 1)
+    ) * (1.0 / 16.0)
+    # nearest 2x upscale then crop (tent already smoothed the signal)
+    up = jnp.repeat(jnp.repeat(tent, 2, axis=0), 2, axis=1)
+    return up[:h, :w]
+
+
+def bloom(
+    img,
+    *,
+    num_mips: int = 6,
+    threshold: float = 1.0,
+    knee: float = 0.5,
+    intensity: float = 1.0,
+    dirt=None,
+    dirt_intensity: float = 0.0,
+):
+    """Full bloom pass (BloomNode.cpp behavior): threshold+downsample chain,
+    tent-upsample accumulation, optional lens dirt at the last upsample.
+
+    Returns the bloom contribution image at input resolution (caller adds it).
+    """
+    mips = []
+    cur = downsample_13tap(img, use_threshold=True, threshold=threshold, knee=knee)
+    mips.append(cur)
+    for _ in range(1, num_mips):
+        if min(cur.shape[0], cur.shape[1]) < 4:
+            break
+        cur = downsample_13tap(cur)
+        mips.append(cur)
+
+    acc = mips[-1]
+    for m in reversed(range(len(mips) - 1)):
+        acc = mips[m] + upsample_tent(acc, mips[m].shape[:2]) * intensity
+    out = upsample_tent(acc, img.shape[:2]) * intensity
+    if dirt is not None and dirt_intensity > 0.0:
+        out = out + dirt * (dirt_intensity * out)
+    return out

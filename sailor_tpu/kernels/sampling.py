@@ -1,0 +1,96 @@
+"""Texture sampling and blit — the TPU analog of Vulkan samplers and
+BlitNode (Runtime/FrameGraph/BlitNode.cpp).
+
+Samplers become gather-based bilinear fetches; since XLA gathers are the
+expensive primitive here, passes that can use structured access (shifted
+adds, reshapes) should — this module is for genuinely unstructured lookups
+(UV-mapped textures, shadow maps, distortion).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _wrap_index(i, n: int, mode: str):
+    if mode == "clamp":
+        return jnp.clip(i, 0, n - 1)
+    if mode == "repeat":
+        return jnp.remainder(i, n)
+    if mode == "mirror":
+        period = 2 * n - 2 if n > 1 else 1
+        i = jnp.remainder(i, period)
+        return jnp.where(i >= n, period - i, i)
+    raise ValueError(f"unknown wrap mode {mode}")
+
+
+def sample_nearest(img, uv, wrap: str = "clamp"):
+    """Nearest-neighbor sample. ``img``: (H, W, C) or (H, W); ``uv``: (..., 2)
+    in [0,1] with (u, v) = (x, y), v=0 at the top row (image convention)."""
+    h, w = img.shape[0], img.shape[1]
+    x = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    y = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    x = _wrap_index(x, w, wrap)
+    y = _wrap_index(y, h, wrap)
+    return img[y, x]
+
+
+def sample_bilinear(img, uv, wrap: str = "clamp"):
+    """Bilinear sample with texel-center convention (uv*size - 0.5)."""
+    h, w = img.shape[0], img.shape[1]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - x0
+    ty = fy - y0
+    if img.ndim == 3:
+        tx = tx[..., None]
+        ty = ty[..., None]
+    x0c = _wrap_index(x0, w, wrap)
+    x1c = _wrap_index(x0 + 1, w, wrap)
+    y0c = _wrap_index(y0, h, wrap)
+    y1c = _wrap_index(y0 + 1, h, wrap)
+    c00 = img[y0c, x0c]
+    c10 = img[y0c, x1c]
+    c01 = img[y1c, x0c]
+    c11 = img[y1c, x1c]
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
+
+
+def blit(src, dst_hw: tuple[int, int], *, filter: str = "bilinear"):
+    """Resize-copy src to dst resolution (BlitNode behavior).
+
+    Same-size blits collapse to the identity (XLA removes the copy);
+    resizes use the sampler above.
+    """
+    h, w = dst_hw
+    if (src.shape[0], src.shape[1]) == (h, w):
+        return src
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    if filter == "nearest":
+        return sample_nearest(src, uv)
+    return sample_bilinear(src, uv)
+
+
+def downsample2x_min(img):
+    """Min-reduction 2x downsample — DepthHighZ mip builder
+    (ComputeDepthHighZ.shader uses a min-sampler to build the HiZ pyramid).
+    For reverse-Z, far = 0, so occlusion tests want the *min* depth."""
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    q = img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, *img.shape[2:])
+    return q.min(axis=(1, 3))
+
+
+def build_min_pyramid(depth, levels: int):
+    """HiZ pyramid: list of (H>>i, W>>i) min-depth mips, level 0 = input."""
+    mips = [depth]
+    for _ in range(1, levels):
+        if min(mips[-1].shape[0], mips[-1].shape[1]) < 2:
+            break
+        mips.append(downsample2x_min(mips[-1]))
+    return mips
