@@ -1,0 +1,151 @@
+"""Tiled Forward+ light culling — TPU-native ComputeLightCulling.shader.
+
+The GLSL kernel builds per-16x16-tile view frustums in shared memory, does
+atomic depth min/max, and compacts light indices with atomicAdd into a global
+list.  The TPU redesign removes every atomic:
+
+1. tile depth bounds  -> reshape (H, W) -> (Ty, 16, Tx, 16) + min/max reduce
+2. tile frustum       -> 4 side planes per tile computed vectorized for ALL
+                         tiles at once (planes through the eye, so they are
+                         direction-only and depend just on tile corner rays)
+3. light test         -> one (Tiles, L) broadcasted sphere/frustum test
+4. compaction + sort  -> top_k over the masked impact score, giving each tile
+                         its <=LIGHTS_PER_TILE nearest lights — replaces the
+                         atomicAdd compaction + bubble sort
+
+Output is a dense (Ty, Tx, K) int32 index grid with -1 padding (the
+reference's culledLights list + lightsGrid offsets collapse into one array).
+
+Directional lights are always included (reference adds them with impact 0 but
+its final copy is reversed, so they effectively rank last; here they rank
+first — shading sums commute).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sailor_tpu import config
+from sailor_tpu.core import math3d as m3
+from sailor_tpu.kernels.lights import DIRECTIONAL, Lights
+
+TILE = config.LIGHTS_CULLING_TILE_SIZE
+
+
+def tile_depth_bounds(linear_depth, tiles_y: int, tiles_x: int):
+    """Per-tile (min, max) of linear view-space depth. Input (H, W) with
+    +depth into the screen; H, W padded to tile multiples by caller."""
+    t = linear_depth.reshape(tiles_y, TILE, tiles_x, TILE)
+    return t.min(axis=(1, 3)), t.max(axis=(1, 3))
+
+
+def _tile_side_planes(tiles_y: int, tiles_x: int, viewport, inv_projection):
+    """View-space side planes for every tile: (Ty, Tx, 4, 4).
+
+    All four planes pass through the eye (origin), so each is defined purely
+    by its normal: n = normalize(cross(edge_dir_a, edge_dir_b)) with corner
+    rays unprojected from the tile's screen-space corners
+    (ComputeLightCulling.shader CreateFrustum, vectorized over tiles).
+    """
+    vw, vh = viewport
+    xs = jnp.arange(tiles_x + 1, dtype=jnp.float32) * TILE
+    ys = jnp.arange(tiles_y + 1, dtype=jnp.float32) * TILE
+    # Screen -> NDC (y down in screen, up in NDC)
+    ndc_x = xs / vw * 2.0 - 1.0
+    ndc_y = 1.0 - ys / vh * 2.0
+    gx, gy = jnp.meshgrid(ndc_x, ndc_y, indexing="xy")  # (Ty+1, Tx+1)
+    # Unproject corner rays at an arbitrary depth; direction through eye.
+    corners = jnp.stack([gx, gy, jnp.ones_like(gx) * 0.5, jnp.ones_like(gx)], -1)
+    v = jnp.einsum("ij,abj->abi", inv_projection, corners)
+    rays = v[..., :3] / v[..., 3:4]  # (Ty+1, Tx+1, 3) view-space corner dirs
+
+    tl = rays[:-1, :-1]
+    tr = rays[:-1, 1:]
+    bl = rays[1:, :-1]
+    br = rays[1:, 1:]
+
+    def plane(a, b):
+        n = m3.normalize(jnp.cross(a, b))
+        return jnp.concatenate([n, jnp.zeros_like(n[..., :1])], axis=-1)
+
+    # Normals point into the tile frustum (matching ComputePlane(eye, p1, p2)
+    # winding in the reference).
+    left = plane(bl, tl)
+    right = plane(tr, br)
+    top = plane(tl, tr)
+    bottom = plane(br, bl)
+    return jnp.stack([left, right, top, bottom], axis=-2)  # (Ty, Tx, 4, 4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_y", "tiles_x", "viewport", "max_per_tile"),
+)
+def cull_lights(
+    lights: Lights,
+    view,
+    inv_projection,
+    linear_depth,
+    *,
+    tiles_y: int,
+    tiles_x: int,
+    viewport: tuple[int, int],
+    max_per_tile: int = config.LIGHTS_PER_TILE,
+):
+    """Returns (indices (Ty, Tx, K) int32 with -1 padding, counts (Ty, Tx)).
+
+    ``linear_depth``: (Ty*TILE, Tx*TILE) positive view-space depth.
+    """
+    planes = _tile_side_planes(tiles_y, tiles_x, viewport, inv_projection)
+    zmin, zmax = tile_depth_bounds(linear_depth, tiles_y, tiles_x)
+    # Reference widens the depth slab by its own extent on both sides
+    # (ComputeLightCulling.shader: zFar -= diff; zNear += diff — note the
+    # reference swaps near/far by widening; we replicate the conservative
+    # slab [zmin - diff, zmax + diff]).
+    diff = zmax - zmin
+    z0 = zmin - diff
+    z1 = zmax + diff
+
+    # Lights to raw view space (-z forward, same space the planes live in).
+    pos_vs = m3.transform_point(view, lights.position)
+
+    # (Ty, Tx, 4, L) signed distances -> inside if >= -radius for all planes.
+    side = jnp.einsum("abpk,lk->abpl", planes[..., :3], pos_vs)
+    in_sides = jnp.all(side >= -lights.radius[None, None, None, :], axis=2)
+    # Depth slab uses +z into the screen (linear depth convention).
+    z = -pos_vs[..., 2]
+    in_depth = (
+        (z[None, None, :] + lights.radius >= z0[..., None])
+        & (z[None, None, :] - lights.radius <= z1[..., None])
+    )
+    is_dir = lights.type == DIRECTIONAL
+    hit = (in_sides & in_depth) | is_dir[None, None, :]
+    hit = hit & lights.valid_mask[None, None, :]
+
+    # Impact = distance from tile-slab center (reference candidateImpact);
+    # directional lights get impact 0 so they always survive selection.
+    center_z = (z0 + z1) * 0.5
+    # Tile center ray direction ~ average of plane-corner rays; approximate
+    # with the light's own xy (distance in view space to tile center depth).
+    d = jnp.sqrt(
+        pos_vs[None, None, :, 0] ** 2
+        + pos_vs[None, None, :, 1] ** 2
+        + (z[None, None, :] - center_z[..., None]) ** 2
+    )
+    impact = jnp.where(is_dir[None, None, :], 0.0, d)
+
+    # Select the K nearest hit lights per tile: top_k of -impact over masked.
+    score = jnp.where(hit, -impact, -jnp.inf)
+    k = min(max_per_tile, lights.capacity)
+    vals, idx = jax.lax.top_k(score, k)  # (Ty, Tx, k)
+    if k < max_per_tile:
+        pad = max_per_tile - k
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad)), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
+    valid = jnp.isfinite(vals)
+    indices = jnp.where(valid, idx, -1)
+    counts = valid.sum(axis=-1)
+    return indices, counts

@@ -1,0 +1,185 @@
+"""Forward+ light culling + PBR shading tests (synthetic G-buffer)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sailor_tpu.core import math3d as m3
+from sailor_tpu.kernels import light_culling, pbr
+from sailor_tpu.kernels.lights import DIRECTIONAL, POINT, SPOT, Lights
+
+TILE = light_culling.TILE
+
+
+def _camera(w, h):
+    view = m3.look_at(
+        jnp.asarray([0.0, 2.0, 5.0]),
+        jnp.asarray([0.0, 0.0, 0.0]),
+        jnp.asarray([0.0, 1.0, 0.0]),
+    )
+    proj = m3.perspective(jnp.pi / 3, w / h, 0.1, 100.0)
+    return view, proj
+
+
+def _ground_gbuffer(w, h, view, proj):
+    """Analytic G-buffer: a y=0 ground plane seen by the camera."""
+    inv_vp = jnp.linalg.inv(proj @ view)
+    ys = (jnp.arange(h) + 0.5) / h
+    xs = (jnp.arange(w) + 0.5) / w
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")
+    ndc = jnp.stack([u * 2 - 1, 1 - v * 2, jnp.full_like(u, 0.5), jnp.ones_like(u)], -1)
+    p_far = m3.homogenize(jnp.einsum("ij,hwj->hwi", inv_vp, ndc))
+    cam = jnp.asarray([0.0, 2.0, 5.0])
+    d = m3.normalize(p_far - cam)
+    t = -cam[1] / d[..., 1]
+    hit = (t > 0) & (d[..., 1] < 0)
+    wpos = cam + d * t[..., None]
+    return pbr.GBuffer(
+        world_position=jnp.where(hit[..., None], wpos, 0.0),
+        normal=jnp.where(
+            hit[..., None], jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray([0.0, 0.0, 1.0])
+        )
+        * jnp.ones_like(wpos),
+        albedo=jnp.full((h, w, 4), 0.8),
+        metallic=jnp.zeros((h, w)),
+        roughness=jnp.full((h, w), 0.5),
+        ao=jnp.ones((h, w)),
+        emissive=jnp.zeros((h, w, 3)),
+        coverage=hit.astype(jnp.float32),
+    ), hit, wpos
+
+
+def test_tile_depth_bounds():
+    depth = jnp.arange(32 * 32, dtype=jnp.float32).reshape(32, 32)
+    zmin, zmax = light_culling.tile_depth_bounds(depth, 2, 2)
+    assert zmin.shape == (2, 2)
+    assert float(zmin[0, 0]) == 0.0
+    assert float(zmax[1, 1]) == 32 * 32 - 1
+
+
+def test_cull_point_light_localized():
+    w, h = 8 * TILE, 6 * TILE
+    view, proj = _camera(w, h)
+    # one point light right of center, one far off-screen, one directional
+    lights = Lights.from_host(
+        types=[POINT, POINT, DIRECTIONAL],
+        positions=[[1.5, 0.5, 0.0], [500.0, 0.0, 0.0], [0, 0, 0]],
+        directions=[[0, -1, 0], [0, -1, 0], [0, -1, 0]],
+        intensities=[[5, 5, 5]] * 3,
+        radii=[1.5, 1.5, 0.0],
+    )
+    gb, hit, wpos = _ground_gbuffer(w, h, view, proj)
+    lin_depth = jnp.where(
+        hit, -m3.transform_point(view, gb.world_position)[..., 2], 100.0
+    )
+    idx, counts = light_culling.cull_lights(
+        lights, view, jnp.linalg.inv(proj), lin_depth,
+        tiles_y=h // TILE, tiles_x=w // TILE, viewport=(w, h), max_per_tile=8,
+    )
+    counts = np.asarray(counts)
+    idx = np.asarray(idx)
+    # directional light present in every tile
+    assert (counts >= 1).all()
+    assert (idx == 2).any(axis=-1).all()
+    # off-screen light never selected
+    assert not (idx == 1).any()
+    # near light selected somewhere, but not everywhere
+    sel0 = (idx == 0).any(axis=-1)
+    assert sel0.any()
+    assert not sel0.all()
+
+
+def test_shade_directional_lambert_falloff():
+    w, h = 4 * TILE, 4 * TILE
+    view, proj = _camera(w, h)
+    gb, hit, _ = _ground_gbuffer(w, h, view, proj)
+    ld = m3.normalize(jnp.asarray([0.3, -1.0, 0.2]))
+    lights = Lights.from_host(
+        types=[DIRECTIONAL],
+        positions=[[0, 0, 0]],
+        directions=[np.asarray(ld)],
+        intensities=[[1.0, 1.0, 1.0]],
+    )
+    idx = jnp.zeros((h // TILE, w // TILE, 4), jnp.int32).at[..., 1:].set(-1)
+    color = pbr.shade_forward_plus(
+        gb, lights, idx, jnp.asarray([0.0, 2.0, 5.0]), ambient=(0.0, 0.0, 0.0)
+    )
+    color = np.asarray(color)
+    mask = np.asarray(hit)
+    assert color[mask].max() > 0.05
+    assert (color[~mask] == 0).all()  # no coverage -> black
+    # Lambert-dominated: diffuse term ~ albedo * cosLi * intensity, cos = 1.0*|ld.y|
+    cos_li = float(-ld[1])
+    expected = 0.8 * cos_li  # kd ~ (1-F)*albedo ~ 0.77-0.8 scale
+    assert abs(color[mask][:, 0].mean() - expected) < 0.3
+
+
+def test_point_light_attenuates_with_distance():
+    w, h = 4 * TILE, 4 * TILE
+    view, proj = _camera(w, h)
+    gb, hit, _ = _ground_gbuffer(w, h, view, proj)
+    lights = Lights.from_host(
+        types=[POINT],
+        positions=[[0.0, 1.0, 0.0]],
+        directions=[[0, -1, 0]],
+        intensities=[[10, 10, 10]],
+        attenuations=[[1.0, 0.0, 1.0]],
+        radii=[50.0],
+    )
+    idx = jnp.zeros((h // TILE, w // TILE, 1), jnp.int32)
+    color = np.asarray(
+        pbr.shade_forward_plus(
+            gb, lights, idx, jnp.asarray([0.0, 2.0, 5.0]), ambient=(0, 0, 0)
+        )
+    )
+    wpos = np.asarray(gb.world_position)
+    mask = np.asarray(hit)
+    d = np.linalg.norm(wpos - np.asarray([0.0, 1.0, 0.0]), axis=-1)
+    near = color[mask & (d < 2)][:, 0].mean()
+    far = color[mask & (d > 6)][:, 0].mean()
+    assert near > far * 3
+
+
+def test_spot_cone_limits():
+    w, h = 2 * TILE, 2 * TILE
+    gb = pbr.GBuffer(
+        world_position=jnp.zeros((h, w, 3)),
+        normal=jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 3)),
+        albedo=jnp.full((h, w, 4), 1.0),
+        metallic=jnp.zeros((h, w)),
+        roughness=jnp.full((h, w), 0.8),
+        ao=jnp.ones((h, w)),
+        emissive=jnp.zeros((h, w, 3)),
+        coverage=jnp.ones((h, w)),
+    )
+    # spot above origin pointing straight down: lit; pointing sideways: unlit
+    for direction, lit in [((0, -1, 0), True), ((1, 0, 0), False)]:
+        lights = Lights.from_host(
+            types=[SPOT],
+            positions=[[0.0, 2.0, 0.0]],
+            directions=[direction],
+            intensities=[[20, 20, 20]],
+            cutoffs=[[np.cos(0.3), np.cos(0.5)]],
+            radii=[10.0],
+        )
+        idx = jnp.zeros((h // TILE, w // TILE, 1), jnp.int32)
+        c = np.asarray(
+            pbr.shade_forward_plus(
+                gb, lights, idx, jnp.asarray([0.0, 2.0, 5.0]), ambient=(0, 0, 0)
+            )
+        )
+        center = c[h // 2, w // 2, 0]
+        assert (center > 0.01) == lit, (direction, center)
+
+
+def test_brdf_energy_sanity():
+    # grazing vs normal incidence fresnel
+    f = np.asarray(pbr.fresnel_schlick(jnp.asarray([0.04]), jnp.asarray([1.0, 0.0])))
+    assert abs(f[0] - 0.04) < 1e-6  # wait: broadcast check below
+    f0 = pbr.fresnel_schlick(jnp.full((3,), 0.04), jnp.asarray(1.0))
+    f1 = pbr.fresnel_schlick(jnp.full((3,), 0.04), jnp.asarray(0.0))
+    assert float(f0[0]) < float(f1[0])
+    assert abs(float(f1[0]) - 1.0) < 1e-5
+    # NDF integrates roughly to cosine-weighted 1 over hemisphere (loose check)
+    assert float(pbr.ndf_ggx(jnp.asarray(1.0), jnp.asarray(0.1))) > float(
+        pbr.ndf_ggx(jnp.asarray(1.0), jnp.asarray(0.9))
+    )
