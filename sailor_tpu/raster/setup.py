@@ -1,0 +1,266 @@
+"""Vertex transform, triangle setup, and tile binning.
+
+TPU-native replacement for the vertex-shader + primitive-assembly +
+binning work the reference's GPU does implicitly in its draw calls
+(RenderSceneNode.cpp / DepthPrepassNode.cpp record DrawIndexedIndirect;
+the hardware rasterizer bins). Everything here is dense, static-shape
+jnp — one batched matmul for all vertices, broadcasted interval tests +
+cumsum + searchsorted for binning (no sort, no scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sailor_tpu.core import math3d as m3
+
+
+@struct.dataclass
+class Geometry:
+    """World-space scene geometry, SoA, merged over meshes/instances."""
+
+    position: jnp.ndarray     # (V, 3) world space
+    normal: jnp.ndarray       # (V, 3) world space
+    uv: jnp.ndarray           # (V, 2)
+    color: jnp.ndarray        # (V, 4)
+    indices: jnp.ndarray      # (T, 3) int32
+    material_id: jnp.ndarray  # (T,) int32
+
+
+@struct.dataclass
+class TriangleSetup:
+    """Per-triangle screen-space rasterization data.
+
+    Raster triangles are the *near-clipped* set: 2 slots per source
+    triangle; ``src_id`` maps back to Geometry.indices rows for attribute
+    interpolation (world-space ray barycentrics, see raster/interpolate.py).
+    """
+
+    edge: jnp.ndarray    # (2T, 3, 3) edge coeffs: E_j = A x + B y + C; inside => all >= 0
+    zplane: jnp.ndarray  # (2T, 3) reverse-Z depth plane: z = A x + B y + C
+    valid: jnp.ndarray   # (2T,) live (on-screen, front-facing) triangles
+    src_id: jnp.ndarray  # (2T,) source triangle index
+
+
+def transform_vertices(positions, normals, model, view_projection):
+    """World + clip transform for one instance batch.
+
+    ``positions``: (V, 3); ``model``: (4, 4) or (I, 4, 4) for instancing
+    (reference PerInstanceData.model, Standard.shader vertex main).
+    Returns (world_pos, world_normal, clip) with leading instance dim if
+    model is batched.
+    """
+    wp = m3.transform_point(model[..., None, :, :] if model.ndim == 3 else model,
+                            positions)
+    wn = m3.transform_vector(model[..., None, :, :] if model.ndim == 3 else model,
+                             normals)
+    clip = m3.transform_point_h(view_projection, wp)
+    return wp, wn, clip
+
+
+def _edge_coeffs(xa, ya, xb, yb):
+    """Coefficients of E(x,y) = (x-xa)(yb-ya) - (y-ya)(xb-xa)."""
+    a = yb - ya
+    b = -(xb - xa)
+    c = -(xa * a + ya * b)
+    return a, b, c
+
+
+_EPS_W = 1e-4  # near-plane clip epsilon in clip-space w
+
+
+def _near_clip(clip_tri):
+    """Clip (T, 3, 4) clip-space triangles against w > _EPS_W.
+
+    Static-shape clipper: every input triangle yields exactly two output
+    slots (T, 2, 3, 4) + a validity mask (T, 2). Cases by inside count:
+    3 -> (tri, invalid); 2 -> two clipped tris; 1 -> (clipped tri,
+    invalid); 0 -> both invalid. Vertex order is rotated canonically so
+    winding is preserved.
+    """
+    w = clip_tri[..., 3]  # (T, 3)
+    inside = w > _EPS_W
+    n_in = inside.sum(axis=-1)  # (T,)
+
+    idx_out = jnp.argmax(~inside, axis=-1)  # first outside vertex
+    idx_in = jnp.argmax(inside, axis=-1)    # first inside vertex
+    rot = jnp.where(n_in == 2, (idx_out + 1) % 3, jnp.where(n_in == 1, idx_in, 0))
+    perm = (rot[:, None] + jnp.arange(3)[None, :]) % 3  # (T, 3)
+    v = jnp.take_along_axis(clip_tri, perm[..., None], axis=1)  # rotated
+    a, b, c = v[:, 0], v[:, 1], v[:, 2]
+    wa, wb, wc = a[..., 3], b[..., 3], c[..., 3]
+
+    def lerp_to_plane(p, q, wp, wq):
+        t = (_EPS_W - wp) / jnp.where(jnp.abs(wq - wp) > 1e-12, wq - wp, 1e-12)
+        t = jnp.clip(t, 0.0, 1.0)[..., None]
+        return p + (q - p) * t
+
+    ab = lerp_to_plane(a, b, wa, wb)
+    ac = lerp_to_plane(a, c, wa, wc)
+    bc = lerp_to_plane(b, c, wb, wc)
+
+    # case 2 (a, b inside; c out): T1=(a, b, bc), T2=(a, bc, ac)
+    # case 1 (a inside; b, c out): T1=(a, ab, ac), T2 invalid
+    # case 3: T1=(a, b, c), T2 invalid
+    case2 = (n_in == 2)[:, None, None]
+    case1 = (n_in == 1)[:, None, None]
+    t1 = jnp.where(case2, jnp.stack([a, b, bc], axis=1),
+                   jnp.where(case1, jnp.stack([a, ab, ac], axis=1),
+                             jnp.stack([a, b, c], axis=1)))
+    t2 = jnp.stack([a, bc, ac], axis=1)
+    out = jnp.stack([t1, t2], axis=1)  # (T, 2, 3, 4)
+    valid = jnp.stack([n_in >= 1, n_in == 2], axis=1)  # (T, 2)
+    return out, valid
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cull"))
+def triangle_setup(
+    geometry: Geometry,
+    view_projection,
+    *,
+    width: int,
+    height: int,
+    cull: str = "back",
+):
+    """Project triangles to screen space and build raster coefficients.
+
+    Convention: pixel (0,0) top-left, sample points at pixel centers
+    (x+0.5, y+0.5); NDC y up -> screen y flipped; reverse-Z depth in [0,1]
+    (bigger = closer). Triangles crossing the near plane are clipped into
+    up to two sub-triangles (static 2x slot allocation); the returned
+    ``src_id`` maps each raster triangle back to its source triangle for
+    attribute interpolation.
+    """
+    clip = m3.transform_point_h(view_projection, geometry.position)  # (V, 4)
+    tri = geometry.indices  # (T, 3)
+    clip_tri = clip[tri]    # (T, 3, 4)
+    clipped, clip_valid = _near_clip(clip_tri)  # (T, 2, 3, 4), (T, 2)
+    t2 = clipped.reshape(-1, 3, 4)              # (2T, 3, 4)
+    src_id = jnp.repeat(jnp.arange(tri.shape[0], dtype=jnp.int32), 2)
+    tw_ok = clip_valid.reshape(-1)
+
+    w = t2[..., 3]
+    inv_w = jnp.where(w > 1e-12, 1.0 / w, 0.0)
+    ndc = t2[..., :3] * inv_w[..., None]
+    tx = (ndc[..., 0] * 0.5 + 0.5) * width   # (2T, 3)
+    ty = (0.5 - ndc[..., 1] * 0.5) * height
+    tz = ndc[..., 2]
+
+    # Signed area (positive = CCW in y-down screen space after our flip).
+    area2 = (tx[:, 1] - tx[:, 0]) * (ty[:, 2] - ty[:, 0]) - (
+        ty[:, 1] - ty[:, 0]
+    ) * (tx[:, 2] - tx[:, 0])
+    # GLTF front faces are CCW in y-up NDC; with the screen y-flip the
+    # area formula above yields area2 < 0 for them.
+    if cull == "back":
+        facing = area2 < 0.0
+    elif cull == "front":
+        facing = area2 > 0.0
+    else:  # "none": accept both orientations
+        facing = jnp.abs(area2) > 0.0
+    # Orient all edge functions so inside => E >= 0 regardless of winding.
+    orient = jnp.where(area2 < 0.0, 1.0, -1.0)
+
+    def edges_for(i, j):
+        a, b, c = _edge_coeffs(tx[:, i], ty[:, i], tx[:, j], ty[:, j])
+        return jnp.stack([a, b, c], axis=-1)
+
+    # Edge k is opposite vertex k (edge from v_{k+1} to v_{k+2}).
+    e0 = edges_for(1, 2)
+    e1 = edges_for(2, 0)
+    e2 = edges_for(0, 1)
+    edge = jnp.stack([e0, e1, e2], axis=1) * orient[:, None, None]  # (T,3,3)
+
+    # Reverse-Z depth plane via Cramer's rule on [[x0,y0,1]...][A,B,C]^T=z.
+    x0, x1, x2 = tx[:, 0], tx[:, 1], tx[:, 2]
+    y0, y1, y2 = ty[:, 0], ty[:, 1], ty[:, 2]
+    det = x0 * (y1 - y2) - y0 * (x1 - x2) + (x1 * y2 - x2 * y1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    z0, z1, z2 = tz[:, 0], tz[:, 1], tz[:, 2]
+    za = (z0 * (y1 - y2) + z1 * (y2 - y0) + z2 * (y0 - y1)) * inv_det
+    zb = (z0 * (x2 - x1) + z1 * (x0 - x2) + z2 * (x1 - x0)) * inv_det
+    zc = (
+        z0 * (x1 * y2 - x2 * y1)
+        + z1 * (x2 * y0 - x0 * y2)
+        + z2 * (x0 * y1 - x1 * y0)
+    ) * inv_det
+    zplane = jnp.stack([za, zb, zc], axis=-1)
+
+    # Screen AABB, clamped; off-screen triangles invalidated.
+    xmin = jnp.min(tx, axis=-1)
+    xmax = jnp.max(tx, axis=-1)
+    ymin = jnp.min(ty, axis=-1)
+    ymax = jnp.max(ty, axis=-1)
+    on_screen = (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
+    degenerate = jnp.abs(area2) < 1e-10
+    valid = tw_ok & facing & on_screen & ~degenerate
+
+    return TriangleSetup(
+        edge=edge,
+        zplane=zplane,
+        valid=valid,
+        src_id=src_id,
+    ), (xmin, xmax, ymin, ymax)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "capacity")
+)
+def bin_triangles(
+    valid,
+    screen_aabb,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    capacity: int,
+    slot_offset: int = 0,
+):
+    """Build per-tile candidate triangle lists.
+
+    Returns (bins (Ty, Tx, C) int32 id or -1, counts (Ty, Tx), overflow).
+
+    Method: overlap[tile, tri] = interval test on the triangle's tile-space
+    AABB; running count via cumsum along triangles; slot s of a tile found
+    by searchsorted(cumsum_row, s+1) — compaction *by gather*, which XLA
+    lowers to dense vector code (a scatter-free replacement for the GPU's
+    atomicAdd compaction; see ComputeLightCulling.shader for the pattern
+    being replaced).
+    """
+    xmin, xmax, ymin, ymax = screen_aabb
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+
+    ntiles = tiles_y * tiles_x
+    cy = jnp.arange(tiles_y, dtype=jnp.int32)
+    cx = jnp.arange(tiles_x, dtype=jnp.int32)
+    # (Ty, Tx, T) overlap — chunked over tiles_y via scan to bound memory.
+    overlap = (
+        (cy[:, None, None] >= ty0[None, None, :])
+        & (cy[:, None, None] <= ty1[None, None, :])
+        & (cx[None, :, None] >= tx0[None, None, :])
+        & (cx[None, :, None] <= tx1[None, None, :])
+        & valid[None, None, :]
+    )
+    overlap = overlap.reshape(ntiles, -1)
+    csum = jnp.cumsum(overlap.astype(jnp.int32), axis=-1)  # (Tiles, T)
+    counts = csum[:, -1]
+    slots = jnp.arange(capacity, dtype=jnp.int32) + slot_offset
+    # searchsorted per row: first index where csum == s+1.
+    found = jax.vmap(lambda row: jnp.searchsorted(row, slots + 1, side="left"))(csum)
+    in_range = slots[None, :] < counts[:, None]
+    bins = jnp.where(in_range, found.astype(jnp.int32), -1)
+    overflow = jnp.maximum(counts - (slot_offset + capacity), 0).sum()
+    round_counts = jnp.clip(counts - slot_offset, 0, capacity)
+    return (
+        bins.reshape(tiles_y, tiles_x, capacity),
+        round_counts.reshape(tiles_y, tiles_x),
+        overflow,
+    )

@@ -1,0 +1,131 @@
+"""Pallas visibility-buffer raster kernel.
+
+Per screen tile (TILE_H x TILE_W pixels), stream the tile's binned candidate
+triangles through VMEM in chunks, evaluate the three edge functions and the
+reverse-Z depth plane over the whole pixel block on the VPU, and keep the
+arg-max depth winner per pixel.  Replaces the hardware rasterizer behind the
+reference's depth-prepass and scene draws (DepthPrepassNode/RenderSceneNode);
+the (depth, triangle id) output is a visibility buffer — attributes are
+resolved by raster/interpolate.py.
+
+No atomics, no divergence: every pixel in the block does identical work, and
+the sequential Pallas grid gives exclusive ownership of each tile's output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sailor_tpu.kernels import common
+
+# Tile shape aligned to the VPU: 8-row sublanes x 128 lanes.
+TILE_H = 32
+TILE_W = 128
+CHUNK = 32  # triangles processed per inner iteration
+
+
+def _raster_kernel(edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref):
+    """One program = one screen tile.
+
+    edge_ref:   (1, 1, C, 9)  gathered edge coeffs (3 edges x A,B,C)
+    zplane_ref: (1, 1, C, 3)  depth plane coeffs
+    ids_ref:    (1, 1, C)     global triangle ids, -1 padding
+    depth_ref:  (TILE_H, TILE_W) out, reverse-Z (0 = far/clear)
+    tid_ref:    (TILE_H, TILE_W) out, int32 winning triangle id (-1 = none)
+    """
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    c = edge_ref.shape[2]
+
+    # Pixel-center coordinates of this tile.
+    oy = (ti * TILE_H).astype(jnp.float32)
+    ox = (tj * TILE_W).astype(jnp.float32)
+    py = oy + jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0) + 0.5
+    px = ox + jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1) + 0.5
+
+    def body(k, carry):
+        best_z, best_id = carry
+        sl = pl.ds(k * CHUNK, CHUNK)
+        e = edge_ref[0, 0, sl, :]      # (CHUNK, 9)
+        zp = zplane_ref[0, 0, sl, :]   # (CHUNK, 3)
+        ids = ids_ref[0, 0, sl]        # (CHUNK,)
+
+        exp_px = px[None]  # (1, TILE_H, TILE_W)
+        exp_py = py[None]
+
+        def edge_val(j):
+            a = e[:, 3 * j + 0][:, None, None]
+            b = e[:, 3 * j + 1][:, None, None]
+            cc = e[:, 3 * j + 2][:, None, None]
+            return a * exp_px + b * exp_py + cc
+
+        inside = (
+            (edge_val(0) >= 0.0) & (edge_val(1) >= 0.0) & (edge_val(2) >= 0.0)
+        )
+        z = (
+            zp[:, 0][:, None, None] * exp_px
+            + zp[:, 1][:, None, None] * exp_py
+            + zp[:, 2][:, None, None]
+        )
+        live = (ids >= 0)[:, None, None]
+        # Reverse-Z: nearer = larger. Also require z in (0, 1] to respect
+        # the near plane (z > 1 would be in front of near).
+        zm = jnp.where(inside & live & (z > 0.0) & (z <= 1.0), z, -1.0)
+        k_best = jnp.argmax(zm, axis=0)  # (TILE_H, TILE_W)
+        k_z = jnp.max(zm, axis=0)
+        k_id = ids[k_best]
+        take = k_z > best_z
+        return (
+            jnp.where(take, k_z, best_z),
+            jnp.where(take, k_id, best_id),
+        )
+
+    best_z = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    best_id = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    best_z, best_id = jax.lax.fori_loop(0, c // CHUNK, body, (best_z, best_id))
+    depth_ref[...] = best_z
+    tid_ref[...] = best_id
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x"))
+def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int):
+    """Run the visibility raster over all tiles.
+
+    ``setup``: TriangleSetup; ``bins``: (Ty, Tx, C) candidate ids.
+    Returns (depth (H, W) reverse-Z with 0 = far, tri_id (H, W) int32).
+    """
+    c = bins.shape[-1]
+    assert c % CHUNK == 0, "bin capacity must be a CHUNK multiple"
+    safe = jnp.maximum(bins, 0)
+    edge = setup.edge.reshape(-1, 9)[safe]      # (Ty, Tx, C, 9)
+    zplane = setup.zplane[safe]                 # (Ty, Tx, C, 3)
+
+    grid = (tiles_y, tiles_x)
+    depth, tid = common.pallas_call(
+        _raster_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, c, 9), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, 3), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32),
+        ),
+    )(edge, zplane, bins)
+    return depth, tid
