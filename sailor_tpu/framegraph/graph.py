@@ -1,0 +1,212 @@
+"""Frame-graph core: YAML asset, node registry, jit compilation.
+
+YAML schema (parity with Content/DefaultRenderer.renderer and
+FrameGraphAsset::Deserialize, FrameGraphParser.cpp:23-78):
+
+```yaml
+float:                       # named scalar values
+  Bloom.Intensity: 0.35
+renderTargets:
+  - name: Main
+    format: R16G16B16A16_SFLOAT
+    width: ViewportWidth     # or int / "ViewportWidth/2" expressions
+    height: ViewportHeight
+frame:                       # ordered node list
+  - name: DepthPrepass
+  - name: LightCulling
+  - name: Sky
+    string: EnvCubemap       # node-specific params
+  - name: RenderScene
+  - name: Bloom
+  - name: EyeAdaptation
+```
+
+Nodes self-register by name via the @node decorator (the analog of the
+reference's CRTP static factory, FrameGraphNode.h:22-68). ``compile()``
+folds the ordered node list into one function and jits it; per-node debug
+execution (eager, timed) is available for profiling parity with the
+reference's GPU-cost tracking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import yaml
+
+from sailor_tpu.rhi.types import RenderTargets, TargetSpec
+
+_NODE_REGISTRY: dict[str, type] = {}
+
+
+def node(name: str):
+    """Register a frame-graph node class under its YAML name."""
+
+    def deco(cls):
+        cls.node_name = name
+        _NODE_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def node_types() -> dict[str, type]:
+    return dict(_NODE_REGISTRY)
+
+
+class BaseNode:
+    """A frame-graph node: pure function over the target dict.
+
+    Parameters from YAML land in ``self.params`` (BaseFrameGraphNode's
+    string/vec4/float/resource param store). Nodes must be traceable:
+    ``process`` runs under jit.
+    """
+
+    node_name = "Base"
+
+    def __init__(self, params: dict | None = None):
+        self.params = params or {}
+
+    def p(self, key: str, default=None):
+        return self.params.get(key, default)
+
+    def prepare(self, ctx: "RenderContext") -> None:
+        """Host-side per-frame setup (cache lookups, bakes). Runs eagerly
+        BEFORE jit tracing; may stash arrays on self for process()."""
+
+    def process(self, ctx: "RenderContext", targets: dict) -> dict:
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class RenderContext:
+    """Static + per-frame context handed to nodes."""
+
+    width: int
+    height: int
+    scene: Any = None          # SceneView (pytree) — traced
+    state: dict | None = None  # temporal state dict (avg_lum, env maps...) — traced
+    values: dict | None = None  # named floats from YAML
+    config: dict | None = None  # misc static config
+
+    def value(self, key: str, default: float = 0.0) -> float:
+        return (self.values or {}).get(key, default)
+
+
+@dataclasses.dataclass
+class FrameGraphAsset:
+    """Parsed `.renderer` file."""
+
+    targets: list[TargetSpec]
+    frame: list[dict]
+    values: dict[str, float]
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "FrameGraphAsset":
+        doc = yaml.safe_load(text) or {}
+        targets = []
+        for t in doc.get("renderTargets", []) or []:
+            targets.append(
+                TargetSpec(
+                    name=t["name"],
+                    format=t.get("format", "R16G16B16A16_SFLOAT"),
+                    width=t.get("width", "ViewportWidth"),
+                    height=t.get("height", "ViewportHeight"),
+                    mips=t.get("mips", 1),
+                    clear=tuple(t.get("clear", (0.0, 0.0, 0.0, 0.0))),
+                )
+            )
+        frame = []
+        for entry in doc.get("frame", []) or []:
+            if isinstance(entry, str):
+                entry = {"name": entry}
+            frame.append(dict(entry))
+        values = dict(doc.get("float", {}) or {})
+        return cls(targets=targets, frame=frame, values=values)
+
+    @classmethod
+    def load(cls, path: str) -> "FrameGraphAsset":
+        with open(path) as f:
+            return cls.from_yaml(f.read())
+
+
+class FrameGraph:
+    """Materialized frame graph (RHIFrameGraph counterpart)."""
+
+    def __init__(self, asset: FrameGraphAsset, width: int, height: int,
+                 config: dict | None = None):
+        self.asset = asset
+        self.width = width
+        self.height = height
+        self.config = config or {}
+        self.targets = RenderTargets(width, height)
+        for spec in asset.targets:
+            self.targets.declare(spec)
+        self.nodes: list[BaseNode] = []
+        for entry in asset.frame:
+            name = entry["name"]
+            if name not in _NODE_REGISTRY:
+                raise KeyError(
+                    f"unknown frame-graph node '{name}' "
+                    f"(registered: {sorted(_NODE_REGISTRY)})"
+                )
+            params = {k: v for k, v in entry.items() if k != "name"}
+            self.nodes.append(_NODE_REGISTRY[name](params))
+        self._jitted: Callable | None = None
+
+    # -- execution ---------------------------------------------------------
+
+    def _run(self, scene, state):
+        ctx = RenderContext(
+            width=self.width, height=self.height, scene=scene, state=state,
+            values=self.asset.values, config=self.config,
+        )
+        targets = self.targets.allocate()
+        targets.update({k: v for k, v in state.items() if k.startswith("rt/")})
+        for n in self.nodes:
+            targets = n.process(ctx, targets)
+        new_state = dict(state)
+        new_state.update(targets.pop("state_out", {}))
+        return targets, new_state
+
+    def prepare(self, scene, state) -> None:
+        """Host-side node prep (cache-gated bakes). Call once per frame
+        BEFORE process (Renderer::PushFrame prepare stage analog)."""
+        ctx = RenderContext(
+            width=self.width, height=self.height, scene=scene, state=state,
+            values=self.asset.values, config=self.config,
+        )
+        for n in self.nodes:
+            n.prepare(ctx)
+
+    def process(self, scene, state: dict):
+        """Jitted execution of the whole graph. Returns (targets, state)."""
+        if self._jitted is None:
+            self._jitted = jax.jit(self._run)
+        return self._jitted(scene, state)
+
+    def process_debug(self, scene, state: dict):
+        """Eager per-node execution with wall-clock timings — the analog of
+        the reference's per-command-list GPU cost tracking (Tracy zones)."""
+        ctx = RenderContext(
+            width=self.width, height=self.height, scene=scene, state=state,
+            values=self.asset.values, config=self.config,
+        )
+        targets = self.targets.allocate()
+        timings = {}
+        for n in self.nodes:
+            t0 = time.perf_counter()
+            targets = n.process(ctx, targets)
+            jax.block_until_ready(targets)
+            timings[f"{n.node_name}"] = (time.perf_counter() - t0) * 1e3
+        new_state = dict(state)
+        new_state.update(targets.pop("state_out", {}))
+        return targets, new_state, timings
+
+    def initial_state(self) -> dict:
+        import jax.numpy as jnp
+
+        return {"avg_luminance": jnp.asarray(0.18)}

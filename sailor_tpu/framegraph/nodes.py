@@ -1,0 +1,403 @@
+"""Standard frame-graph nodes — TPU-native Runtime/FrameGraph/*Node.cpp.
+
+Data flows through the ``targets`` dict: raster products ("Depth", "TriId",
+"TriSetup"), screen buffers ("Main", "AO", "LinearDepth", "Sky"), light
+culling products ("LightIndices"), shadow products ("ShadowMaps",
+"LightMatrices", "EvsmMap"), and temporal state via "state_out"
+(avg luminance, env-map bakes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sailor_tpu import config as cfg
+from sailor_tpu.core import math3d as m3
+from sailor_tpu.framegraph.graph import BaseNode, node
+from sailor_tpu.kernels import (
+    bloom as bloom_k,
+    blur as blur_k,
+    cubemap as cm,
+    histogram as hist_k,
+    ibl as ibl_k,
+    light_culling,
+    pbr,
+    postprocess as pp,
+    sampling,
+    shadow as shadow_k,
+    sky as sky_k,
+    tonemap as tm,
+)
+from sailor_tpu.raster import interpolate, setup as rsetup, tile_raster
+from sailor_tpu.kernels.common import round_up
+
+
+@node("Clear")
+class ClearNode(BaseNode):
+    """Clear a render target (ClearNode.cpp)."""
+
+    def process(self, ctx, targets):
+        name = self.p("target", "Main")
+        value = self.p("clearValue", 0.0)
+        if name in targets:
+            targets[name] = jnp.full_like(targets[name], value)
+        return targets
+
+
+@node("DepthPrepass")
+class DepthPrepassNode(BaseNode):
+    """Visibility raster: depth + triangle id (DepthPrepassNode.cpp).
+
+    The reference draws depth-only with GPU culling; here the visibility
+    buffer doubles as the depth prepass AND the input to RenderScene's
+    attribute resolve, so geometry is rasterized exactly once per frame.
+    """
+
+    def process(self, ctx, targets):
+        geo = ctx.scene.geometry
+        vp = ctx.scene.frame.view_projection
+        w, h = ctx.width, ctx.height
+        pw = round_up(w, tile_raster.TILE_W)
+        ph = round_up(h, tile_raster.TILE_H)
+        tiles_x, tiles_y = pw // tile_raster.TILE_W, ph // tile_raster.TILE_H
+        capacity = int(ctx.config.get("bin_capacity", 512))
+        rounds = int(ctx.config.get("bin_rounds", 2))
+
+        tri, aabb = rsetup.triangle_setup(geo, vp, width=w, height=h, cull="back")
+        depth = tid = None
+        for r in range(rounds):
+            bins, _, _ = rsetup.bin_triangles(
+                tri.valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+                capacity=capacity, slot_offset=r * capacity,
+            )
+            d_r, t_r = tile_raster.rasterize_tiles(
+                tri, bins, tiles_y=tiles_y, tiles_x=tiles_x
+            )
+            if depth is None:
+                depth, tid = d_r, t_r
+            else:
+                take = d_r > depth
+                depth = jnp.where(take, d_r, depth)
+                tid = jnp.where(take, t_r, tid)
+        targets["Depth"] = depth[:h, :w]
+        targets["TriId"] = tid[:h, :w]
+        targets["TriSetup"] = tri
+        return targets
+
+
+@node("LinearizeDepth")
+class LinearizeDepthNode(BaseNode):
+    def process(self, ctx, targets):
+        znf = ctx.scene.frame.camera_z_near_far
+        targets["LinearDepth"] = pp.linearize_depth(
+            targets["Depth"], znf[0], znf[1]
+        )
+        return targets
+
+
+@node("LightCulling")
+class LightCullingNode(BaseNode):
+    """Tiled light culling (LightCullingNode.cpp -> kernels/light_culling)."""
+
+    def process(self, ctx, targets):
+        w, h = ctx.width, ctx.height
+        t = cfg.LIGHTS_CULLING_TILE_SIZE
+        lin = targets["LinearDepth"]
+        ph, pw = round_up(h, t), round_up(w, t)
+        if (ph, pw) != lin.shape:
+            lin = jnp.pad(lin, ((0, ph - h), (0, pw - w)), constant_values=1e4)
+        idx, counts = light_culling.cull_lights(
+            ctx.scene.lights,
+            ctx.scene.frame.view,
+            ctx.scene.frame.inv_projection,
+            lin,
+            tiles_y=ph // t,
+            tiles_x=pw // t,
+            viewport=(w, h),
+            max_per_tile=int(ctx.config.get("max_lights_per_tile", cfg.LIGHTS_PER_TILE)),
+        )
+        targets["LightIndices"] = idx
+        targets["LightCounts"] = counts
+        return targets
+
+
+@node("ShadowPrepass")
+class ShadowPrepassNode(BaseNode):
+    """CSM cascades + EVSM for cascade 0 (ShadowPrepassNode.cpp)."""
+
+    def process(self, ctx, targets):
+        scene = ctx.scene
+        znf = scene.frame.camera_z_near_far
+        sun_dir = scene.sky.sun_direction
+        mats = shadow_k.cascade_matrices(
+            scene.frame.view, scene.frame.projection, sun_dir,
+            float(ctx.config.get("z_near", 0.1)),
+            float(ctx.config.get("z_far", 100.0)),
+        )
+        s = int(ctx.config.get("shadow_resolution", 1024))
+        ps = round_up(s, tile_raster.TILE_W)
+        tiles = ps // tile_raster.TILE_W
+        tiles_y = round_up(s, tile_raster.TILE_H) // tile_raster.TILE_H
+        smaps = []
+        for c in range(cfg.NUM_CSM_CASCADES):
+            tri, aabb = rsetup.triangle_setup(
+                scene.geometry, mats[c], width=s, height=s, cull="none"
+            )
+            bins, _, _ = rsetup.bin_triangles(
+                tri.valid, aabb, tiles_x=tiles, tiles_y=tiles_y,
+                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+                capacity=int(ctx.config.get("shadow_bin_capacity", 512)),
+            )
+            d, _ = tile_raster.rasterize_tiles(tri, bins, tiles_y=tiles_y, tiles_x=tiles)
+            smaps.append(d[:s, :s])
+        targets["ShadowMaps"] = jnp.stack(smaps)
+        targets["LightMatrices"] = mats
+        # EVSM moments for cascade 0 with separable blur
+        moments = shadow_k.evsm_warp(smaps[0])
+        radius = int(ctx.value("Shadow.EvsmBlurRadius", 4))
+        moments = blur_k.blur_1d(blur_k.blur_1d(moments, radius, 0), radius, 1)
+        targets["EvsmMap"] = moments
+        return targets
+
+
+@node("Sky")
+class SkyNode(BaseNode):
+    """Procedural sky for background pixels (SkyNode.cpp)."""
+
+    def process(self, ctx, targets):
+        w, h = ctx.width, ctx.height
+        inv_vp = jnp.linalg.inv(ctx.scene.frame.view_projection)
+        d = interpolate.pixel_rays(
+            inv_vp, ctx.scene.frame.camera_position, h, w
+        )
+        use_stars = ctx.scene.star_dirs.shape[0] > 0
+        color = sky_k.sky_radiance(
+            d, ctx.scene.sky, ctx.scene.frame.current_time,
+            ctx.scene.star_dirs if use_stars else None,
+            ctx.scene.star_colors if use_stars else None,
+            with_clouds=bool(ctx.config.get("sky_clouds", True)),
+            with_stars=use_stars,
+        )
+        targets["Sky"] = color
+        return targets
+
+
+@node("Environment")
+class EnvironmentNode(BaseNode):
+    """IBL bake, cached per sky params (EnvironmentNode.cpp caching).
+
+    The bake runs in ``prepare`` (host side, eager) only when the sky hash
+    changes; the baked maps ride through ``state`` so the jitted graph
+    treats them as inputs.
+    """
+
+    _cache_key = None
+    _cache = None
+
+    def prepare(self, ctx):
+        import numpy as np
+
+        p = ctx.scene.sky
+        key = tuple(
+            np.round(np.asarray(jnp.concatenate([
+                p.sun_direction, jnp.stack([p.sun_intensity, p.clouds_coverage])
+            ])), 4).tolist()
+        )
+        if key == self._cache_key:
+            return
+        res = int(ctx.config.get("env_resolution", 64))
+
+        def radiance(d):
+            return sky_k.sky_radiance(d, p, 0.0, with_clouds=False)
+
+        env = cm.render_cubemap(radiance, res)
+        irr = ibl_k.irradiance_map(env, resolution=16, samples=128)
+        mips = ibl_k.prefiltered_env_mips(env, num_mips=4, samples=32)
+        lut = ibl_k.brdf_lut(resolution=64, samples=128)
+        type(self)._cache = {
+            "env/cube": env,
+            "env/irradiance": irr,
+            "env/brdf_lut": lut,
+            **{f"env/mip{i}": m for i, m in enumerate(mips)},
+        }
+        type(self)._cache_key = key
+        ctx.state.update(self._cache)
+
+    def process(self, ctx, targets):
+        # maps already live in state; nothing traced to do
+        return targets
+
+
+@node("PostProcess")
+class PostProcessNode(BaseNode):
+    """Generic fullscreen pass selected by `shader` (PostProcessNode.cpp)."""
+
+    def process(self, ctx, targets):
+        shader = self.p("shader", "")
+        if shader == "HBAO":
+            targets["AO"] = pp.hbao(
+                targets["LinearDepth"],
+                ctx.scene.frame.inv_projection,
+                height=ctx.height, width=ctx.width,
+                radius=float(ctx.value("AO.Radius", 0.5)),
+                power=float(ctx.value("AO.Power", 1.5)),
+            )
+        elif shader == "HBAO_Blur":
+            axis = 0 if self.p("direction", "V") == "V" else 1
+            targets["AO"] = blur_k.blur_1d(targets["AO"], 4, axis)
+        elif shader == "MotionBlur":
+            inv_vp = jnp.linalg.inv(ctx.scene.frame.view_projection)
+            targets["Main"] = pp.motion_blur(
+                targets["Main"], targets["Depth"],
+                ctx.scene.prev_frame.view_projection, inv_vp,
+                intensity=float(ctx.value("MotionBlur.Intensity", 1.0)),
+            )
+        elif shader == "ChromaticAberration":
+            targets["Main"] = pp.chromatic_aberration(
+                targets["Main"], float(ctx.value("CA.Strength", 0.003))
+            )
+        else:
+            raise KeyError(f"unknown PostProcess shader '{shader}'")
+        return targets
+
+
+@node("RenderScene")
+class RenderSceneNode(BaseNode):
+    """Forward+ shading of the visibility buffer (RenderSceneNode.cpp)."""
+
+    def process(self, ctx, targets):
+        scene = ctx.scene
+        inv_vp = jnp.linalg.inv(scene.frame.view_projection)
+        gbuffer, uv, mat_id = interpolate.resolve_gbuffer(
+            scene.geometry, targets["TriSetup"], targets["TriId"],
+            inv_vp, scene.frame.camera_position,
+        )
+        if "AO" in targets:
+            gbuffer = gbuffer.replace(ao=targets["AO"])
+
+        # CSM shadow factor for the sun
+        shadow = None
+        if "ShadowMaps" in targets:
+            shadow = shadow_k.csm_shadow_factor(
+                gbuffer.world_position, gbuffer.normal, scene.frame.view,
+                scene.sky.sun_direction, targets["LightMatrices"],
+                targets["ShadowMaps"], targets.get("EvsmMap"),
+                z_far=float(ctx.config.get("z_far", 100.0)),
+                use_evsm=True,
+            )
+
+        # IBL ambient if the environment bake is present
+        ibl_ambient = None
+        state = ctx.state or {}
+        if "env/irradiance" in state:
+            mips = [state[k] for k in sorted(state) if k.startswith("env/mip")]
+            view_dir = m3.normalize(
+                gbuffer.world_position - scene.frame.camera_position
+            )
+            ibl_ambient = ibl_k.ambient_ibl(
+                gbuffer.albedo, gbuffer.metallic, gbuffer.roughness,
+                gbuffer.ao, gbuffer.normal, view_dir,
+                state["env/irradiance"], mips, state["env/brdf_lut"],
+            ) * gbuffer.coverage[..., None]
+
+        t = cfg.LIGHTS_CULLING_TILE_SIZE
+        ph, pw = round_up(ctx.height, t), round_up(ctx.width, t)
+        gb_p = gbuffer
+        if (ph, pw) != (ctx.height, ctx.width):
+
+            def pad2(x, v=0.0):
+                padw = [(0, ph - ctx.height), (0, pw - ctx.width)] + [(0, 0)] * (x.ndim - 2)
+                return jnp.pad(x, padw, constant_values=v)
+
+            gb_p = jax.tree.map(pad2, gbuffer)
+            shadow = pad2(shadow) if shadow is not None else None
+            ibl_ambient = pad2(ibl_ambient) if ibl_ambient is not None else None
+
+        hdr = pbr.shade_forward_plus(
+            gb_p, scene.lights, targets["LightIndices"],
+            scene.frame.camera_position,
+            shadow_factors=shadow,
+            ibl_ambient=ibl_ambient,
+        )[: ctx.height, : ctx.width]
+
+        # compose over the sky background
+        if "Sky" in targets:
+            covered = gbuffer.coverage[..., None]
+            hdr = hdr * covered + targets["Sky"] * (1.0 - covered)
+        targets["Main"] = hdr
+        return targets
+
+
+@node("Bloom")
+class BloomNode(BaseNode):
+    def process(self, ctx, targets):
+        targets["Main"] = targets["Main"] + bloom_k.bloom(
+            targets["Main"],
+            threshold=float(ctx.value("Bloom.Threshold", 1.0)),
+            knee=float(ctx.value("Bloom.Knee", 0.5)),
+            intensity=float(ctx.value("Bloom.Intensity", 0.35)),
+        )
+        return targets
+
+
+@node("EyeAdaptation")
+class EyeAdaptationNode(BaseNode):
+    """Histogram exposure + temporal adaptation + tonemap
+    (EyeAdaptationNode.cpp + Tonemapping.shader)."""
+
+    def process(self, ctx, targets):
+        hdr = targets["Main"]
+        h, w = hdr.shape[:2]
+        hist = hist_k.luminance_histogram(hdr)
+        prev = (ctx.state or {}).get("avg_luminance", jnp.asarray(0.18))
+        avg = hist_k.adapt_average_luminance(
+            hist, prev, float(h * w), ctx.scene.frame.delta_time + 0.25,
+            tau=float(ctx.value("EyeAdaptation.Tau", 1.1)),
+        )
+        mode = str(ctx.config.get("tonemap", "aces"))
+        ldr = tm.tonemap(hdr, avg, mode=mode)
+        targets["Final"] = m3.linear_to_srgb(ldr)
+        targets.setdefault("state_out", {})["avg_luminance"] = avg
+        return targets
+
+
+@node("Blit")
+class BlitNode(BaseNode):
+    def process(self, ctx, targets):
+        src = targets[self.p("src", "Sky")]
+        dst_name = self.p("dst", "Main")
+        if dst_name in targets:
+            dst_hw = targets[dst_name].shape[:2]
+        else:
+            dst_hw = (ctx.height, ctx.width)
+        targets[dst_name] = sampling.blit(src, dst_hw)
+        return targets
+
+
+@node("DepthHighZ")
+class DepthHighZNode(BaseNode):
+    """HiZ min-pyramid (ComputeDepthHighZ.shader) for occlusion queries."""
+
+    def process(self, ctx, targets):
+        levels = int(self.p("levels", 5))
+        mips = sampling.build_min_pyramid(targets["Depth"], levels)
+        for i, m in enumerate(mips[1:], 1):
+            targets[f"HiZ/mip{i}"] = m
+        return targets
+
+
+@node("DebugDraw")
+class DebugDrawNode(BaseNode):
+    """Overlay debug lines (DebugDrawNode.cpp). Lines come from the
+    engine's DebugContext via config; no-op when empty."""
+
+    def process(self, ctx, targets):
+        dbg = ctx.config.get("debug_context")
+        if dbg is None or not dbg.has_lines:
+            return targets
+        targets["Main"] = dbg.rasterize_over(
+            targets["Main"], ctx.scene.frame.view_projection
+        )
+        return targets

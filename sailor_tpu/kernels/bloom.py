@@ -84,8 +84,13 @@ def upsample_tent(img, out_hw):
         + 2 * s(0, -1) + 4 * s(0, 0) + 2 * s(0, 1)
         + s(1, -1) + 2 * s(1, 0) + s(1, 1)
     ) * (1.0 / 16.0)
-    # nearest 2x upscale then crop (tent already smoothed the signal)
+    # nearest 2x upscale then crop/pad (tent already smoothed the signal;
+    # odd-sized mips pad with the edge row/column)
     up = jnp.repeat(jnp.repeat(tent, 2, axis=0), 2, axis=1)
+    ph = max(0, h - up.shape[0])
+    pw = max(0, w - up.shape[1])
+    if ph or pw:
+        up = jnp.pad(up, ((0, ph), (0, pw), (0, 0)), mode="edge")
     return up[:h, :w]
 
 

