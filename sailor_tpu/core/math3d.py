@@ -300,3 +300,29 @@ def yxy_to_rgb(yxy):
         ]
     )
     return jnp.einsum("ij,...j->...i", m, xyz)
+
+
+def mat3_to_quat(m):
+    """Rotation matrix (..., 3, 3) -> quaternion (x, y, z, w), branchless."""
+    m00, m11, m22 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    t = m00 + m11 + m22
+    qw = jnp.sqrt(jnp.maximum(1.0 + t, 1e-12)) * 0.5
+    inv4w = 1.0 / jnp.maximum(4.0 * qw, 1e-9)
+    qx = (m[..., 2, 1] - m[..., 1, 2]) * inv4w
+    qy = (m[..., 0, 2] - m[..., 2, 0]) * inv4w
+    qz = (m[..., 1, 0] - m[..., 0, 1]) * inv4w
+    q = jnp.stack([qx, qy, qz, qw], axis=-1)
+    return normalize(q)
+
+
+def quat_look_rotation(forward, up=(0.0, 1.0, 0.0)):
+    """Quaternion rotating -Z onto ``forward`` with ``up`` hint (camera
+    aiming: a transform with this rotation makes inv(model) a look-at view).
+    """
+    f = normalize(jnp.asarray(forward, jnp.float32))
+    upv = jnp.asarray(up, jnp.float32)
+    s = normalize(jnp.cross(f, upv))
+    u = jnp.cross(s, f)
+    # columns = basis vectors: x=s, y=u, z=-f (camera looks down -z)
+    m = jnp.stack([s, u, -f], axis=-1)
+    return mat3_to_quat(m)

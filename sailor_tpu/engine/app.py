@@ -1,0 +1,134 @@
+"""App + EngineLoop + Renderer: process-level engine loop.
+
+Counterpart of Runtime/Sailor.{h,cpp} (App submodule registry + main loop),
+Runtime/Engine/EngineLoop.cpp (CPU frame orchestration, ~120fps cap) and
+Runtime/RHI/Renderer.cpp (frame pacing with 2 frames in flight).
+
+On TPU, "2 frames in flight" is jax async dispatch: `frame N`'s arrays are
+futures while the host prepares frame N+1; `block_until_ready` only on
+present/readback. The submodule registry is a typed service locator like
+App::GetSubmodule<T>.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+
+from sailor_tpu.engine.world import World
+from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+from sailor_tpu.utils.log import SAILOR_LOG
+
+
+class App:
+    """Static submodule registry (Sailor::App)."""
+
+    _submodules: dict[type, Any] = {}
+
+    @classmethod
+    def add_submodule(cls, instance) -> Any:
+        cls._submodules[type(instance)] = instance
+        return instance
+
+    @classmethod
+    def get_submodule(cls, t: type):
+        return cls._submodules.get(t)
+
+    @classmethod
+    def remove_submodule(cls, t: type) -> None:
+        cls._submodules.pop(t, None)
+
+    @classmethod
+    def shutdown(cls) -> None:
+        cls._submodules.clear()
+
+
+class Renderer:
+    """Frame-graph lifecycle + pacing (Runtime/RHI/Renderer.cpp).
+
+    ``max_frames_in_flight=2`` (Renderer.h:34): at most two undispatched
+    device frames; the host blocks on the oldest future before pushing the
+    next (back-pressure at Renderer.cpp:209-214).
+    """
+
+    def __init__(self, renderer_path: str, width: int, height: int,
+                 config: dict | None = None, max_frames_in_flight: int = 2):
+        self.asset_path = renderer_path
+        self.width = width
+        self.height = height
+        self.config = config or {}
+        self.max_frames_in_flight = max_frames_in_flight
+        self._in_flight: list = []
+        self.frame_graph = self._build()
+        self.state = self.frame_graph.initial_state()
+        self.stats = {"gpu_frames": 0, "last_frame_ms": 0.0}
+
+    def _build(self) -> FrameGraph:
+        return FrameGraph(
+            FrameGraphAsset.load(self.asset_path),
+            self.width, self.height, config=self.config,
+        )
+
+    def refresh_frame_graph(self) -> None:
+        """F5 hot-reload: re-parse the .renderer and re-jit
+        (Renderer::BeginConditionalDestroy + rebuild path)."""
+        SAILOR_LOG("Renderer: refreshing frame graph")
+        self.frame_graph = self._build()
+
+    def push_frame(self, scene_view):
+        """Dispatch one frame; returns the (async) target dict."""
+        if len(self._in_flight) >= self.max_frames_in_flight:
+            jax.block_until_ready(self._in_flight.pop(0))
+        t0 = time.perf_counter()
+        self.frame_graph.prepare(scene_view, self.state)
+        targets, self.state = self.frame_graph.process(scene_view, self.state)
+        self._in_flight.append(targets["Final"])
+        self.stats["gpu_frames"] += 1
+        self.stats["last_frame_ms"] = (time.perf_counter() - t0) * 1e3
+        return targets
+
+    def wait_idle(self) -> None:
+        for t in self._in_flight:
+            jax.block_until_ready(t)
+        self._in_flight.clear()
+
+
+class EngineLoop:
+    """CPU frame orchestration (Runtime/Engine/EngineLoop.cpp)."""
+
+    CPU_FPS_CAP = 120.0  # reference sleeps below ~1000/130 ms
+
+    def __init__(self, world: World, renderer: Renderer, sky=None, stars=None):
+        self.world = world
+        self.renderer = renderer
+        self.sky = sky
+        self.stars = stars
+        self._prev_frame = None
+        self.frame_index = 0
+
+    def process_cpu_frame(self, dt: float):
+        """World tick -> scene snapshot -> renderer push (one frame)."""
+        self.world.tick(dt)
+        scene = self.world.scene_view(
+            sky=self.sky, stars=self.stars, prev_frame=self._prev_frame
+        )
+        self._prev_frame = scene.frame
+        targets = self.renderer.push_frame(scene)
+        self.frame_index += 1
+        return targets
+
+    def run(self, num_frames: int, dt: float = 1 / 60, pace: bool = False):
+        """Fixed-step loop (headless main loop, App::Start while-loop)."""
+        last = None
+        for _ in range(num_frames):
+            t0 = time.perf_counter()
+            last = self.process_cpu_frame(dt)
+            if pace:
+                elapsed = time.perf_counter() - t0
+                budget = 1.0 / self.CPU_FPS_CAP
+                if elapsed < budget:
+                    time.sleep(budget - elapsed)
+        self.renderer.wait_idle()
+        return last
