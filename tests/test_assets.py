@@ -1,0 +1,187 @@
+"""Asset pipeline: GLB parser, material table, registry + hot reload."""
+
+import json
+import struct
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+
+def _make_glb(tmp_path):
+    """Hand-assemble a minimal valid GLB: one quad with normals+uvs,
+    one pbr material."""
+    pos = np.asarray(
+        [[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32
+    )
+    nrm = np.tile(np.asarray([[0, 1, 0]], np.float32), (4, 1))
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.asarray([0, 2, 1, 0, 3, 2], np.uint16)
+    bin_data = pos.tobytes() + nrm.tobytes() + uv.tobytes() + idx.tobytes()
+    pad = (4 - len(bin_data) % 4) % 4
+    bin_data += b"\x00" * pad
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [2.0, 0.0, 0.0]}],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                "indices": 3,
+                "material": 0,
+            }]
+        }],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorFactor": [0.9, 0.2, 0.1, 1.0],
+                "metallicFactor": 0.3,
+                "roughnessFactor": 0.4,
+            },
+            "emissiveFactor": [0.0, 0.1, 0.0],
+        }],
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 128, "byteLength": 12},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+    }
+    js = json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bin_data)
+    glb = (
+        struct.pack("<4sII", b"glTF", 2, total)
+        + struct.pack("<II", len(js), 0x4E4F534A) + js
+        + struct.pack("<II", len(bin_data), 0x004E4942) + bin_data
+    )
+    p = tmp_path / "quad.glb"
+    p.write_bytes(glb)
+    return str(p)
+
+
+def test_glb_load_merged(tmp_path):
+    from sailor_tpu.assets import gltf
+
+    path = _make_glb(tmp_path)
+    soup, mats = gltf.load_merged(path)
+    assert soup["position"].shape == (4, 3)
+    assert soup["indices"].shape == (2, 3)
+    # node translation [2,0,0] applied
+    np.testing.assert_allclose(soup["position"][:, 0].mean(), 2.0, atol=1e-6)
+    np.testing.assert_allclose(soup["normal"], [[0, 1, 0]] * 4, atol=1e-6)
+    np.testing.assert_allclose(mats["albedo"][0], [0.9, 0.2, 0.1], atol=1e-6)
+    assert mats["metallic"][0] == np.float32(0.3)
+    np.testing.assert_allclose(mats["emissive"][0], [0, 0.1, 0], atol=1e-6)
+
+
+def test_glb_renders_in_path_tracer(tmp_path):
+    from sailor_tpu.assets import gltf
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.raytracing import path_tracer as pt
+
+    soup, mats = gltf.load_merged(_make_glb(tmp_path))
+    mats.pop("albedo_texture")
+    scene = pt.scene_from_mesh(soup, mats)
+    cam = jnp.asarray([2.0, 3.0, 3.0])
+    view = m3.look_at(cam, jnp.asarray([2.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+    img, _ = pt.render(scene, cam, view, proj, width=24, height=24, spp=2, max_bounces=2)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    # the reddish quad should dominate the center
+    c = img[12, 12]
+    assert c[0] > c[2]
+
+
+def test_material_table_sampling():
+    from sailor_tpu.assets.materials import MaterialTable
+
+    table = {
+        "albedo": np.asarray([[1.0, 1.0, 1.0], [0.5, 0.5, 0.5]], np.float32),
+        "metallic": np.asarray([0.0, 1.0], np.float32),
+        "roughness": np.asarray([0.5, 0.1], np.float32),
+        "emissive": np.zeros((2, 3), np.float32),
+        "albedo_texture": np.asarray([0, -1], np.int32),
+    }
+    # texture 0: left half red, right half green
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[:, :4] = [1, 0, 0, 1]
+    tex[:, 4:] = [0, 1, 0, 1]
+    mt = MaterialTable.from_host(table, [tex], texture_size=8)
+    mat_id = jnp.asarray([[0, 0], [1, 1]])
+    uv = jnp.asarray([[[0.25, 0.5], [0.75, 0.5]], [[0.25, 0.5], [0.75, 0.5]]])
+    albedo, met, rough, emis = mt.sample(mat_id, uv)
+    a = np.asarray(albedo)
+    assert a[0, 0, 0] > 0.9 and a[0, 0, 1] < 0.1   # textured red
+    assert a[0, 1, 1] > 0.9 and a[0, 1, 0] < 0.1   # textured green
+    np.testing.assert_allclose(a[1, 0, :3], 0.5, atol=1e-6)  # untextured
+    assert float(met[1, 0]) == 1.0
+
+
+def test_mat_yaml_parse():
+    from sailor_tpu.assets.materials import MaterialAsset
+
+    text = """
+renderQueue: Masked
+cullMode: None
+shader: Standard
+defines: [ALPHA_CUTOUT]
+uniformsVec4:
+  material.albedo: [0.8, 0.1, 0.1, 1.0]
+uniformsFloat:
+  material.metallic: 0.9
+  material.roughness: 0.2
+samplers:
+  albedoSampler: Textures/brick.png
+"""
+    m = MaterialAsset.from_yaml(text)
+    assert m.render_queue == "Masked"
+    assert "ALPHA_CUTOUT" in m.defines
+    row = m.to_table_row()
+    np.testing.assert_allclose(row["albedo"], [0.8, 0.1, 0.1])
+    assert row["metallic"] == 0.9
+
+
+def test_registry_scan_load_hot_reload(tmp_path):
+    from sailor_tpu.assets.registry import AssetRegistry
+
+    content = tmp_path / "content"
+    content.mkdir()
+    mat = content / "red.mat"
+    mat.write_text("uniformsVec4:\n  material.albedo: [1.0, 0.0, 0.0, 1.0]\n")
+    (content / "world.world").write_text("name: W\ngameObjects: []\n")
+
+    reg = AssetRegistry(str(content))
+    n = reg.scan_content_folder()
+    assert n == 2
+    # sidecars written with stable file ids
+    sidecar = yaml.safe_load((content / "red.mat.asset").read_text())
+    assert "fileId" in sidecar
+
+    m = reg.load(str(mat))
+    assert m.to_table_row()["albedo"] == [1.0, 0.0, 0.0]
+    # cached: same object identity
+    assert reg.load(str(mat)) is m
+
+    # hot reload on timestamp change
+    events = []
+    reg.add_hot_reload_listener(lambda info: events.append(info.path))
+    time.sleep(0.01)
+    mat.write_text("uniformsVec4:\n  material.albedo: [0.0, 1.0, 0.0, 1.0]\n")
+    import os
+
+    os.utime(mat, (time.time() + 1, time.time() + 1))
+    reloaded = reg.check_hot_reload()
+    assert len(reloaded) == 1
+    assert events
+    assert reg.load(str(mat)).to_table_row()["albedo"] == [0.0, 1.0, 0.0]
