@@ -1,0 +1,188 @@
+"""Headline benchmark: Forward+ frame at 1080p with 1k point lights.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline target (BASELINE.md): >= 60 FPS at 1920x1080 Forward+ with 1k
+lights on one TPU chip; vs_baseline = achieved_fps / 60.
+
+Runs the full jitted pipeline (visibility raster -> tiled light culling ->
+PBR shading -> bloom -> histogram exposure -> ACES tonemap) on a
+Sponza-class procedural scene. Use --small for a quick smoke run, --trace
+for the path-tracer benchmark instead (Mrays/s vs the 20 Mrays/s target).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_scene(width, height, num_lights, num_objects, rng_seed=11):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sailor_tpu.assets import primitives
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.kernels.lights import DIRECTIONAL, POINT, Lights
+    from sailor_tpu.kernels.sky import SkyParams
+    from sailor_tpu.raster.setup import Geometry
+    from sailor_tpu.rhi.scene_view import SceneView
+    from sailor_tpu.rhi.types import FrameData
+
+    rng = np.random.default_rng(rng_seed)
+    instances = [(primitives.plane(60.0), np.eye(4))]
+    for i in range(num_objects):
+        t = np.eye(4)
+        t[:3, 3] = [rng.uniform(-20, 20), rng.uniform(0.4, 2.0), rng.uniform(-20, 20)]
+        mesh = (
+            primitives.cube(rng.uniform(0.8, 2.0))
+            if i % 2
+            else primitives.uv_sphere(rng.uniform(0.4, 1.0), 16, 32)
+        )
+        instances.append((mesh, t))
+    soup = primitives.merge(instances)
+    geo = Geometry(
+        position=jnp.asarray(soup["position"]),
+        normal=jnp.asarray(soup["normal"]),
+        uv=jnp.asarray(soup["uv"]),
+        color=jnp.asarray(soup["color"]) * jnp.asarray([0.65, 0.62, 0.6, 1.0]),
+        indices=jnp.asarray(soup["indices"]),
+        material_id=jnp.asarray(soup["material_id"]),
+    )
+    n = num_lights
+    lp = np.stack(
+        [rng.uniform(-22, 22, n), rng.uniform(0.3, 3.0, n), rng.uniform(-22, 22, n)],
+        -1,
+    )
+    lights = Lights.from_host(
+        types=[DIRECTIONAL] + [POINT] * n,
+        positions=np.concatenate([[[0, 0, 0]], lp]),
+        directions=np.concatenate([[[-0.35, -0.7, -0.3]], np.tile([[0, -1, 0]], (n, 1))]),
+        intensities=np.concatenate([[[3.0, 2.9, 2.6]], rng.uniform(0.3, 1, (n, 3)) * 6]),
+        attenuations=[[1, 0, 0.8]] * (n + 1),
+        radii=[0.0] + list(rng.uniform(2.0, 5.0, n)),
+    )
+    cam = jnp.asarray([24.0, 10.0, 26.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.5, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, width / height, 0.1, 150.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 150.0, dt=1 / 60)
+    sky = SkyParams.default(sun_direction=(-0.35, -0.7, -0.3))
+    print(
+        f"# scene: {geo.indices.shape[0]} tris, {n} lights, {width}x{height}",
+        file=sys.stderr,
+    )
+    return SceneView.create(geo, lights, frame, sky=sky)
+
+
+def bench_forward(width, height, num_lights, num_objects, frames):
+    import jax
+
+    from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+
+    scene = _build_scene(width, height, num_lights, num_objects)
+    fg = FrameGraph(
+        FrameGraphAsset.load(
+            os.path.join(os.path.dirname(__file__), "content/DefaultRenderer.renderer")
+        ),
+        width,
+        height,
+        config={
+            "z_far": 150.0,
+            "shadow_resolution": 1024,
+            "env_resolution": 32,
+            "bin_capacity": 1024,
+            "bin_rounds": 2,
+            "max_lights_per_tile": 128,
+        },
+    )
+    state = fg.initial_state()
+    fg.prepare(scene, state)
+    t0 = time.time()
+    targets, state = fg.process(scene, state)
+    jax.block_until_ready(targets["Final"])
+    print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(frames):
+        t0 = time.time()
+        targets, state = fg.process(scene, state)
+        jax.block_until_ready(targets["Final"])
+        times.append(time.time() - t0)
+    best = min(times)
+    fps = 1.0 / best
+    print(f"# frame times (s): {[round(t, 4) for t in times]}", file=sys.stderr)
+    return {
+        "metric": f"forward+ FPS @{width}x{height}, {num_lights} lights",
+        "value": round(fps, 2),
+        "unit": "FPS",
+        "vs_baseline": round(fps / 60.0, 3),
+    }
+
+
+def bench_trace(size, spp, bounces):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sailor_tpu.assets import primitives
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.raytracing import path_tracer as pt
+
+    meshes = [(primitives.plane(40.0), np.eye(4))]
+    rng = np.random.default_rng(5)
+    for i in range(8):
+        t = np.eye(4)
+        t[:3, 3] = [(i % 4 - 1.5) * 2.2, 0.9, (i // 4 - 0.5) * 2.4]
+        meshes.append((primitives.uv_sphere(0.9, 24, 48), t))
+    soup = primitives.merge(meshes)
+    scene = pt.scene_from_mesh(soup)
+    cam = jnp.asarray([0.0, 4.0, 9.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.6, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 4, 1.0, 0.1, 100.0)
+    t0 = time.time()
+    img, rays = pt.render(
+        scene, cam, view, proj, width=size, height=size, spp=spp,
+        max_bounces=bounces,
+    )
+    jax.block_until_ready(img)
+    print(f"# compile+render: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    img, rays = pt.render(
+        scene, cam, view, proj, width=size, height=size, spp=spp,
+        max_bounces=bounces, key=jax.random.PRNGKey(7),
+    )
+    jax.block_until_ready(img)
+    dt = time.time() - t0
+    mrays = float(rays) / dt / 1e6
+    return {
+        "metric": f"pathtracer Mrays/s @{size}x{size} {spp}spp",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 20.0, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="quick smoke config")
+    ap.add_argument("--trace", action="store_true", help="path tracer benchmark")
+    ap.add_argument("--frames", type=int, default=5)
+    args = ap.parse_args()
+
+    if args.trace:
+        out = bench_trace(256 if args.small else 512, 4 if args.small else 64, 4)
+    elif args.small:
+        out = bench_forward(640, 384, 128, 24, args.frames)
+    else:
+        out = bench_forward(1920, 1088, 1000, 96, args.frames)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,8 +93,11 @@ def _sample_texture_stack(stack, layer, uv):
     def wrap(i):
         return jnp.remainder(i, s)
 
+    flat = stack.reshape(-1, stack.shape[-1])
+
     def fetch(yy, xx):
-        return stack[safe, wrap(yy), wrap(xx)]
+        # flat 1-D gather (multi-index gathers hit a slow TPU path)
+        return flat[(safe * s + wrap(yy)) * s + wrap(xx)]
 
     c00 = fetch(y0, x0)
     c10 = fetch(y0, x0 + 1)

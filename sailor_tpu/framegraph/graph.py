@@ -209,4 +209,4 @@ class FrameGraph:
     def initial_state(self) -> dict:
         import jax.numpy as jnp
 
-        return {"avg_luminance": jnp.asarray(0.18)}
+        return {"avg_luminance": jnp.asarray(0.18, jnp.float32)}

@@ -35,11 +35,18 @@ def quadratic_threshold(color, threshold: float, knee: float):
 
 
 def _sample_at(img, dy: int, dx: int):
-    """img shifted by (dy, dx) texels with clamp-to-edge."""
-    h, w = img.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    """img shifted by (dy, dx) texels with clamp-to-edge (pad+slice: fuses
+    on TPU where index-take gathers do not)."""
+    import jax
+
+    if dy == 0 and dx == 0:
+        return img
+    pads = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))] + [(0, 0)] * (
+        img.ndim - 2
+    )
+    padded = jnp.pad(img, pads, mode="edge")
+    start = [max(dy, 0), max(dx, 0)] + [0] * (img.ndim - 2)
+    return jax.lax.dynamic_slice(padded, start, img.shape)
 
 
 def downsample_13tap(img, *, use_threshold=False, threshold=1.0, knee=0.5):

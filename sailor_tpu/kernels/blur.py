@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,10 +30,19 @@ def half_gaussian_weights(radius: int) -> tuple[float, ...]:
 
 
 def _shift(img, d: int, axis: int):
-    """Shift with clamp-to-edge along axis (texture clamp sampling)."""
-    n = img.shape[axis]
-    idx = jnp.clip(jnp.arange(n) + d, 0, n - 1)
-    return jnp.take(img, idx, axis=axis)
+    """Shift with clamp-to-edge along axis (texture clamp sampling).
+
+    Implemented as pad+slice (pure data movement XLA fuses into the
+    surrounding loop) — measured much faster than index-take gathers on TPU.
+    """
+    if d == 0:
+        return img
+    pads = [(0, 0)] * img.ndim
+    pads[axis] = (max(-d, 0), max(d, 0))
+    padded = jnp.pad(img, pads, mode="edge")
+    start = [0] * img.ndim
+    start[axis] = max(d, 0)
+    return jax.lax.dynamic_slice(padded, start, img.shape)
 
 
 def blur_1d(img, radius: int, axis: int):

@@ -222,35 +222,62 @@ def shade_forward_plus(
         else None
     )
 
-    def body(acc, k):
-        idx = tile_light_indices[..., k]          # (Ty, Tx)
-        valid = (idx >= 0)[..., None, None, None]  # broadcast over pixels
-        safe = jnp.maximum(idx, 0)
+    # Pre-gather every per-tile light parameter ONCE (8 gathers total);
+    # the scan then slices dense (Ty, Tx, K, C) arrays per step — on TPU a
+    # dynamic_slice is far cheaper than 8 gathers x K steps.
+    safe_all = jnp.maximum(tile_light_indices, 0)     # (Ty, Tx, K)
+    valid_all = tile_light_indices >= 0
+    lp = {
+        "type": lights.type[safe_all],
+        "position": lights.position[safe_all],
+        "direction": lights.direction[safe_all],
+        "intensity": lights.intensity[safe_all],
+        "attenuation": lights.attenuation[safe_all],
+        "cutoff": lights.cutoff[safe_all],
+        "radius": lights.radius[safe_all],
+    }
+
+    # Light-chunked scan: CL lights per step share one read of the tile
+    # attribute arrays (bandwidth-bound otherwise — 128 single-light steps
+    # re-reading the G-buffer measured ~50x slower than 8 chunked steps).
+    CL = min(16, K)
+    assert K % CL == 0
+    # pixel attribute arrays gain a broadcast lights axis: (Ty,Tx,1,16,16,C)
+    pa = {
+        "alb": t_alb[:, :, None], "met": t_met[:, :, None],
+        "rough": t_rough[:, :, None], "f0": t_f0[:, :, None],
+        "norm": t_norm[:, :, None], "wpos": t_wpos[:, :, None],
+        "tocam": t_tocam[:, :, None], "coslo": t_coslo[:, :, None],
+    }
+    t_shadow_b = t_shadow[:, :, None] if t_shadow is not None else None
+
+    def body(acc, c0):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, CL, axis=2)  # noqa: E731
+        valid = sl(valid_all[..., None, None, None])  # (Ty,Tx,CL,1,1,1)
+        l_type = sl(lp["type"][..., None, None, None])
 
         def g(field):
-            return getattr(lights, field)[safe][..., None, None, :]  # (Ty,Tx,1,1,C)
+            return sl(lp[field][..., None, None, :])  # (Ty,Tx,CL,1,1,C)
 
-        l_type = lights.type[safe][..., None, None, None]
         shadow = 1.0
-        if t_shadow is not None:
+        if t_shadow_b is not None:
             # CSM shadow applies to directional lights only (reference
             # CalculateLighting applies its shadow term for type==0).
-            shadow = jnp.where(
-                l_type == DIRECTIONAL, t_shadow[..., None], 1.0
-            )
+            shadow = jnp.where(l_type == DIRECTIONAL, t_shadow_b[..., None], 1.0)
         contrib = direct_lighting(
             l_type[..., 0],
             g("position"), g("direction"), g("intensity"),
             g("attenuation"), g("cutoff"),
-            lights.radius[safe][..., None, None],
-            t_alb, t_met, t_rough, t_f0,
-            t_norm, t_wpos, t_tocam, t_coslo,
+            sl(lp["radius"][..., None, None]),
+            pa["alb"], pa["met"], pa["rough"], pa["f0"],
+            pa["norm"], pa["wpos"], pa["tocam"], pa["coslo"],
             shadow,
         )
-        return acc + jnp.where(valid, contrib, 0.0), None
+        contrib = jnp.sum(jnp.where(valid, contrib, 0.0), axis=2)  # (Ty,Tx,16,16,3)
+        return acc + contrib, None
 
     acc0 = jnp.zeros_like(t_norm)
-    acc, _ = jax.lax.scan(body, acc0, jnp.arange(K))
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(0, K, CL))
     color = _from_tiles(acc)
 
     if ibl_ambient is not None:

@@ -24,6 +24,16 @@ def _wrap_index(i, n: int, mode: str):
     raise ValueError(f"unknown wrap mode {mode}")
 
 
+def _fetch(img, y, x):
+    """Gather texels by integer coords via a FLAT 1-D index — XLA lowers
+    multi-index (img[y, x]) gathers to a slow path on TPU; the flattened
+    row-gather form is an order of magnitude faster (measured; per-channel
+    scalar gathers with a transpose measured 2x SLOWER than row gathers)."""
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape((h * w,) + img.shape[2:])
+    return flat[y * w + x]
+
+
 def sample_nearest(img, uv, wrap: str = "clamp"):
     """Nearest-neighbor sample. ``img``: (H, W, C) or (H, W); ``uv``: (..., 2)
     in [0,1] with (u, v) = (x, y), v=0 at the top row (image convention)."""
@@ -32,7 +42,7 @@ def sample_nearest(img, uv, wrap: str = "clamp"):
     y = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
     x = _wrap_index(x, w, wrap)
     y = _wrap_index(y, h, wrap)
-    return img[y, x]
+    return _fetch(img, y, x)
 
 
 def sample_bilinear(img, uv, wrap: str = "clamp"):
@@ -51,10 +61,10 @@ def sample_bilinear(img, uv, wrap: str = "clamp"):
     x1c = _wrap_index(x0 + 1, w, wrap)
     y0c = _wrap_index(y0, h, wrap)
     y1c = _wrap_index(y0 + 1, h, wrap)
-    c00 = img[y0c, x0c]
-    c10 = img[y0c, x1c]
-    c01 = img[y1c, x0c]
-    c11 = img[y1c, x1c]
+    c00 = _fetch(img, y0c, x0c)
+    c10 = _fetch(img, y0c, x1c)
+    c01 = _fetch(img, y1c, x0c)
+    c11 = _fetch(img, y1c, x1c)
     top = c00 + (c10 - c00) * tx
     bot = c01 + (c11 - c01) * tx
     return top + (bot - top) * ty

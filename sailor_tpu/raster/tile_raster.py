@@ -10,6 +10,10 @@ resolved by raster/interpolate.py.
 
 No atomics, no divergence: every pixel in the block does identical work, and
 the sequential Pallas grid gives exclusive ownership of each tile's output.
+
+Mosaic alignment: per-tile inputs are folded to 2D arrays whose row-blocks
+are (C, k) — the last two block dims must be 8/128-divisible or equal the
+full array dims, so the tile index lives in the grid, not the block shape.
 """
 
 from __future__ import annotations
@@ -29,31 +33,37 @@ TILE_W = 128
 CHUNK = 32  # triangles processed per inner iteration
 
 
-def _raster_kernel(edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref):
+def _raster_kernel(count_ref, edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref):
     """One program = one screen tile.
 
-    edge_ref:   (1, 1, C, 9)  gathered edge coeffs (3 edges x A,B,C)
-    zplane_ref: (1, 1, C, 3)  depth plane coeffs
-    ids_ref:    (1, 1, C)     global triangle ids, -1 padding
+    count_ref:  (Tiles,) scalar-prefetch SMEM — live candidate count per
+                tile; the chunk loop runs ceil(count/CHUNK) iterations, so
+                near-empty tiles (the common case) cost almost nothing.
+    edge_ref:   (C, 9)  gathered edge coeffs (3 edges x A,B,C)
+    zplane_ref: (C, 3)  depth plane coeffs
+    ids_ref:    (C, 1)  global triangle ids, -1 padding
     depth_ref:  (TILE_H, TILE_W) out, reverse-Z (0 = far/clear)
     tid_ref:    (TILE_H, TILE_W) out, int32 winning triangle id (-1 = none)
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    c = edge_ref.shape[2]
+    count = count_ref[ti * pl.num_programs(1) + tj]  # scalar SMEM load
+    n_chunks = (count + (CHUNK - 1)) // CHUNK
 
     # Pixel-center coordinates of this tile.
     oy = (ti * TILE_H).astype(jnp.float32)
     ox = (tj * TILE_W).astype(jnp.float32)
-    py = oy + jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0) + 0.5
-    px = ox + jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1) + 0.5
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = oy + iy.astype(jnp.float32) + 0.5
+    px = ox + ix.astype(jnp.float32) + 0.5
 
     def body(k, carry):
         best_z, best_id = carry
         sl = pl.ds(k * CHUNK, CHUNK)
-        e = edge_ref[0, 0, sl, :]      # (CHUNK, 9)
-        zp = zplane_ref[0, 0, sl, :]   # (CHUNK, 3)
-        ids = ids_ref[0, 0, sl]        # (CHUNK,)
+        e = edge_ref[sl, :]      # (CHUNK, 9)
+        zp = zplane_ref[sl, :]   # (CHUNK, 3)
+        ids = ids_ref[sl, 0]     # (CHUNK,)
 
         exp_px = px[None]  # (1, TILE_H, TILE_W)
         exp_py = py[None]
@@ -76,9 +86,12 @@ def _raster_kernel(edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref):
         # Reverse-Z: nearer = larger. Also require z in (0, 1] to respect
         # the near plane (z > 1 would be in front of near).
         zm = jnp.where(inside & live & (z > 0.0) & (z <= 1.0), z, -1.0)
-        k_best = jnp.argmax(zm, axis=0)  # (TILE_H, TILE_W)
         k_z = jnp.max(zm, axis=0)
-        k_id = ids[k_best]
+        # winner id without a gather (Mosaic-friendly): masked max over the
+        # chunk of ids where the depth equals the chunk max.
+        k_id = jnp.max(
+            jnp.where(zm == k_z[None], ids[:, None, None], -1), axis=0
+        )
         take = k_z > best_z
         return (
             jnp.where(take, k_z, best_z),
@@ -87,45 +100,53 @@ def _raster_kernel(edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref):
 
     best_z = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     best_id = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-    best_z, best_id = jax.lax.fori_loop(0, c // CHUNK, body, (best_z, best_id))
+    best_z, best_id = jax.lax.fori_loop(0, n_chunks, body, (best_z, best_id))
     depth_ref[...] = best_z
     tid_ref[...] = best_id
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x"))
-def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int):
+def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None):
     """Run the visibility raster over all tiles.
 
-    ``setup``: TriangleSetup; ``bins``: (Ty, Tx, C) candidate ids.
+    ``setup``: TriangleSetup; ``bins``: (Ty, Tx, C) candidate ids;
+    ``counts``: optional (Ty, Tx) live candidate counts (computed from the
+    bins when omitted) — drives per-tile early exit.
     Returns (depth (H, W) reverse-Z with 0 = far, tri_id (H, W) int32).
     """
     c = bins.shape[-1]
     assert c % CHUNK == 0, "bin capacity must be a CHUNK multiple"
     safe = jnp.maximum(bins, 0)
-    edge = setup.edge.reshape(-1, 9)[safe]      # (Ty, Tx, C, 9)
-    zplane = setup.zplane[safe]                 # (Ty, Tx, C, 3)
+    # Fold (Ty, Tx) into rows: per-tile data as (Ty*Tx*C, k) row blocks.
+    edge = setup.edge.reshape(-1, 9)[safe].reshape(-1, 9)
+    zplane = setup.zplane[safe].reshape(-1, 3)
+    ids = bins.reshape(-1, 1)
+    if counts is None:
+        counts = jnp.sum(bins >= 0, axis=-1, dtype=jnp.int32)
+    counts = counts.reshape(-1).astype(jnp.int32)
 
-    grid = (tiles_y, tiles_x)
-    depth, tid = common.pallas_call(
-        _raster_kernel,
-        grid=grid,
+    def row_map(i, j, s):
+        return (i * tiles_x + j, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y, tiles_x),
         in_specs=[
-            pl.BlockSpec((1, 1, c, 9), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, 3), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 9), row_map),
+            pl.BlockSpec((c, 3), row_map),
+            pl.BlockSpec((c, 1), row_map),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, s: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, s: (i, j)),
         ),
+    )
+    depth, tid = common.pallas_call(
+        _raster_kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
             jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32),
         ),
-    )(edge, zplane, bins)
+    )(counts, edge, zplane, ids)
     return depth, tid

@@ -111,6 +111,106 @@ def _shade_hit(scene, res, origin, direction):
     }
 
 
+def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count):
+    """Trace one radiance sample for a fixed set of primary rays.
+
+    Shared by render() (jittered camera rays per spp) and trace_rays()
+    (caller-provided rays, e.g. the sharded multi-chip path)."""
+    r = origin.shape[0]
+    radiance = jnp.zeros((r, 3))
+    throughput = jnp.ones((r, 3))
+    live = jnp.ones((r,), bool)
+
+    for bounce in range(max_bounces):
+        res = bvh_mod.intersect(scene.bvh, origin, direction)
+        ray_count = ray_count + jnp.sum(live).astype(jnp.float32)
+        miss = live & ~res["hit"]
+        radiance = radiance + jnp.where(
+            miss[:, None],
+            throughput * sky_radiance(scene, direction, include_sun=(bounce == 0)),
+            0.0,
+        )
+        live = live & res["hit"]
+
+        pos, n, mat = _shade_hit(scene, res, origin, direction)
+        wo = -direction
+
+        radiance = radiance + jnp.where(
+            live[:, None], throughput * mat["emissive"], 0.0
+        )
+
+        # next-event estimation: sun shadow ray
+        wi_sun = -scene.sun_direction
+        cos_sun = jnp.maximum(m3.dot(n, wi_sun, keepdims=True), 0.0)
+        shadow_o = pos + n * 1e-3
+        sres = bvh_mod.intersect(
+            scene.bvh, shadow_o, jnp.broadcast_to(wi_sun, shadow_o.shape),
+            any_hit=True,
+        )
+        ray_count = ray_count + jnp.sum(live).astype(jnp.float32)
+        lit = live & ~sres["hit"]
+        f_sun, _, _ = lm.eval_brdf(
+            n, wo, jnp.broadcast_to(wi_sun, n.shape),
+            mat["albedo"], mat["metallic"], mat["roughness"],
+        )
+        radiance = radiance + jnp.where(
+            lit[:, None], throughput * f_sun * scene.sun_intensity * cos_sun, 0.0
+        )
+
+        # BRDF-sampled bounce (one-sample MIS between cosine + GGX lobes)
+        k0 = keys[3 * bounce]
+        k1 = keys[3 * bounce + 1]
+        k2 = keys[3 * bounce + 2]
+        u1 = jax.random.uniform(k0, (r,))
+        u2 = jax.random.uniform(k1, (r,))
+        p_spec = 0.2 + 0.6 * mat["metallic"]
+        pick_spec = jax.random.uniform(k2, (r,)) < p_spec
+        d_cos, _ = lm.sample_cosine_hemisphere(n, u1, u2)
+        h = lm.sample_ggx_half(n, mat["roughness"], u1, u2)
+        d_spec = m3.reflect(direction, h)
+        wi = m3.normalize(jnp.where(pick_spec[:, None], d_spec, d_cos))
+        above = m3.dot(n, wi) > 1e-4
+
+        f, pdf_cos, pdf_ggx = lm.eval_brdf(
+            n, wo, wi, mat["albedo"], mat["metallic"], mat["roughness"]
+        )
+        pdf = pdf_cos * (1.0 - p_spec) + pdf_ggx * p_spec
+        cos_i = jnp.maximum(m3.dot(n, wi), 0.0)
+        weight = jnp.where(
+            (pdf > 1e-8) & above, cos_i / jnp.maximum(pdf, 1e-8), 0.0
+        )
+        throughput = throughput * f * weight[:, None]
+        live = live & above & (jnp.max(throughput, axis=-1) > 1e-4)
+        origin = pos + n * 1e-3
+        direction = wi
+
+    return radiance, ray_count
+
+
+@functools.partial(jax.jit, static_argnames=("spp", "max_bounces"))
+def trace_rays(scene, origin, direction, *, spp: int = 4,
+               max_bounces: int = 3, key=None):
+    """Trace given primary rays; average spp independent samples.
+
+    Returns ((R, 3) radiance, rays traced)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def one(carry, k):
+        acc, rays = carry
+        keys = jax.random.split(k, 3 * max_bounces)
+        rad, rays = _trace_one_sample(
+            scene, origin, direction, keys, max_bounces, rays
+        )
+        return (acc + rad, rays), None
+
+    (acc, rays), _ = jax.lax.scan(
+        one, (jnp.zeros(origin.shape[:1] + (3,)), jnp.asarray(0.0)),
+        jax.random.split(key, spp),
+    )
+    return acc / spp, rays
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "spp", "max_bounces")
 )
@@ -139,84 +239,10 @@ def render(
         origin, direction = camera_rays(
             camera_pos, view, proj, width, height, ju, jv
         )
-        radiance = jnp.zeros((r, 3))
-        throughput = jnp.ones((r, 3))
-        live = jnp.ones((r,), bool)
-
-        for bounce in range(max_bounces):
-            res = bvh_mod.intersect(scene.bvh, origin, direction)
-            ray_count = ray_count + jnp.sum(live).astype(jnp.float32)
-            miss = live & ~res["hit"]
-            radiance = radiance + jnp.where(
-                miss[:, None],
-                throughput * sky_radiance(scene, direction, include_sun=(bounce == 0)),
-                0.0,
-            )
-            live = live & res["hit"]
-
-            pos, n, mat = _shade_hit(scene, res, origin, direction)
-            wo = -direction
-
-            # Emissive
-            radiance = radiance + jnp.where(
-                live[:, None], throughput * mat["emissive"], 0.0
-            )
-
-            # --- next-event estimation: sun shadow ray -------------------
-            wi_sun = -scene.sun_direction
-            cos_sun = jnp.maximum(m3.dot(n, wi_sun, keepdims=True), 0.0)
-            shadow_o = pos + n * 1e-3
-            sres = bvh_mod.intersect(
-                scene.bvh, shadow_o, jnp.broadcast_to(wi_sun, shadow_o.shape),
-                any_hit=True,
-            )
-            ray_count = ray_count + jnp.sum(live).astype(jnp.float32)
-            lit = live & ~sres["hit"]
-            f_sun, _, _ = lm.eval_brdf(
-                n, wo, jnp.broadcast_to(wi_sun, n.shape),
-                mat["albedo"], mat["metallic"], mat["roughness"],
-            )
-            radiance = radiance + jnp.where(
-                lit[:, None],
-                throughput * f_sun * scene.sun_intensity * cos_sun,
-                0.0,
-            )
-
-            # --- BRDF-sampled bounce (MIS between cosine + GGX lobes) ----
-            k0 = keys[2 + 3 * bounce]
-            k1 = keys[3 + 3 * bounce]
-            k2 = keys[4 + 3 * bounce]
-            u1 = jax.random.uniform(k0, (r,))
-            u2 = jax.random.uniform(k1, (r,))
-            # Lobe-pick probability adapts to the material: metals are
-            # nearly all specular, dielectrics mostly diffuse. The same
-            # per-ray p_spec is used in the mixture pdf (valid one-sample MIS).
-            p_spec = 0.2 + 0.6 * mat["metallic"]
-            pick_spec = jax.random.uniform(k2, (r,)) < p_spec
-            d_cos, _ = lm.sample_cosine_hemisphere(n, u1, u2)
-            h = lm.sample_ggx_half(n, mat["roughness"], u1, u2)
-            d_spec = m3.reflect(direction, h)
-            wi = jnp.where(pick_spec[:, None], d_spec, d_cos)
-            wi = m3.normalize(wi)
-            above = m3.dot(n, wi) > 1e-4
-
-            f, pdf_cos, pdf_ggx = lm.eval_brdf(
-                n, wo, wi, mat["albedo"], mat["metallic"], mat["roughness"]
-            )
-            # one-sample MIS over the two lobes (balance heuristic)
-            pdf = pdf_cos * (1.0 - p_spec) + pdf_ggx * p_spec
-            cos_i = jnp.maximum(m3.dot(n, wi), 0.0)
-            weight = jnp.where(
-                (pdf > 1e-8) & above, cos_i / jnp.maximum(pdf, 1e-8), 0.0
-            )
-            throughput = throughput * f * weight[:, None]
-            live = live & above & (jnp.max(throughput, axis=-1) > 1e-4)
-
-            origin = pos + n * 1e-3
-            direction = wi
-
-        img = acc + radiance
-        return (img, ray_count), None
+        radiance, ray_count = _trace_one_sample(
+            scene, origin, direction, keys[2:], max_bounces, ray_count
+        )
+        return (acc + radiance, ray_count), None
 
     acc0 = jnp.zeros((r, 3))
     # float32 ray counter: large renders exceed int32 (64spp @ 512^2 with
