@@ -166,8 +166,11 @@ class FrameGraph:
         )
         targets = self.targets.allocate()
         targets.update({k: v for k, v in state.items() if k.startswith("rt/")})
-        for n in self.nodes:
-            targets = n.process(ctx, targets)
+        for i, n in enumerate(self.nodes):
+            # named scopes annotate XLA metadata -> per-node attribution in
+            # device traces (the Tracy-zone analog for profiling)
+            with jax.named_scope(f"{i:02d}_{n.node_name}"):
+                targets = n.process(ctx, targets)
         new_state = dict(state)
         new_state.update(targets.pop("state_out", {}))
         return targets, new_state

@@ -65,15 +65,15 @@ class DepthPrepassNode(BaseNode):
         rounds = int(ctx.config.get("bin_rounds", 2))
 
         tri, aabb = rsetup.triangle_setup(geo, vp, width=w, height=h, cull="back")
+        passes, _ = rsetup.bin_all(
+            tri.valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+            capacity=capacity, rounds=rounds,
+        )
         depth = tid = None
-        for r in range(rounds):
-            bins, _, _ = rsetup.bin_triangles(
-                tri.valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                capacity=capacity, slot_offset=r * capacity,
-            )
+        for bins, counts in passes:
             d_r, t_r = tile_raster.rasterize_tiles(
-                tri, bins, tiles_y=tiles_y, tiles_x=tiles_x
+                tri, bins, tiles_y=tiles_y, tiles_x=tiles_x, counts=counts
             )
             if depth is None:
                 depth, tid = d_r, t_r
@@ -149,14 +149,17 @@ class ShadowPrepassNode(BaseNode):
             tri, aabb = rsetup.triangle_setup(
                 scene.geometry, mat, width=s, height=s, cull="none"
             )
-            bins, _, _ = rsetup.bin_triangles(
+            passes, _ = rsetup.bin_all(
                 tri.valid, aabb, tiles_x=tiles, tiles_y=tiles_y,
                 tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                capacity=capacity,
+                capacity=capacity, rounds=1,
             )
-            d, _ = tile_raster.rasterize_tiles(
-                tri, bins, tiles_y=tiles_y, tiles_x=tiles
-            )
+            d = None
+            for bins, counts in passes:
+                d_r, _ = tile_raster.rasterize_tiles(
+                    tri, bins, tiles_y=tiles_y, tiles_x=tiles, counts=counts
+                )
+                d = d_r if d is None else jnp.maximum(d, d_r)
             return d[:s, :s]
 
         targets["ShadowMaps"] = jnp.stack(

@@ -125,27 +125,36 @@ def cull_lights(
     hit = (in_sides & in_depth) | is_dir[None, None, :]
     hit = hit & lights.valid_mask[None, None, :]
 
-    # Impact = distance from tile-slab center (reference candidateImpact);
-    # directional lights get impact 0 so they always survive selection.
-    center_z = (z0 + z1) * 0.5
-    # Tile center ray direction ~ average of plane-corner rays; approximate
-    # with the light's own xy (distance in view space to tile center depth).
-    d = jnp.sqrt(
-        pos_vs[None, None, :, 0] ** 2
-        + pos_vs[None, None, :, 1] ** 2
-        + (z[None, None, :] - center_z[..., None]) ** 2
-    )
-    impact = jnp.where(is_dir[None, None, :], 0.0, d)
-
-    # Select the K nearest hit lights per tile: top_k of -impact over masked.
-    score = jnp.where(hit, -impact, -jnp.inf)
+    # Compact the first K hit lights per tile WITHOUT sorting: running count
+    # via cumsum + fixed-step binary search per slot (same compaction as
+    # triangle binning). jax.lax.top_k lowers to ~k serial passes on TPU and
+    # measured ~30x slower at k=128. Order is by light index — the
+    # reference's impact sort only matters when a tile overflows its K; sort
+    # lights by importance host-side if that case matters.
     k = min(max_per_tile, lights.capacity)
-    vals, idx = jax.lax.top_k(score, k)  # (Ty, Tx, k)
+    ntiles = tiles_y * tiles_x
+    hitf = hit.reshape(ntiles, -1)
+    csum = jnp.cumsum(hitf.astype(jnp.int32), axis=-1)  # (Tiles, L)
+    counts = csum[:, -1]
+    L = csum.shape[1]
+    steps = max(1, (L - 1).bit_length())
+    target = (jnp.arange(k, dtype=jnp.int32) + 1)[None, :]
+    lo = jnp.zeros((ntiles, k), jnp.int32)
+    hi = jnp.full((ntiles, k), L - 1, jnp.int32)
+    csum_flat = csum.reshape(-1)
+    row_base = (jnp.arange(ntiles, dtype=jnp.int32) * L)[:, None]
+    for _ in range(steps):  # flat gathers (2-D take_along_axis is slow on TPU)
+        mid = (lo + hi) >> 1
+        ge = csum_flat[row_base + mid] >= target
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, L - 1))
+    in_range = jnp.arange(k)[None, :] < counts[:, None]
+    indices = jnp.where(in_range, hi, -1)
     if k < max_per_tile:
-        pad = max_per_tile - k
-        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad)), constant_values=-jnp.inf)
-        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
-    valid = jnp.isfinite(vals)
-    indices = jnp.where(valid, idx, -1)
-    counts = valid.sum(axis=-1)
-    return indices, counts
+        indices = jnp.pad(
+            indices, ((0, 0), (0, max_per_tile - k)), constant_values=-1
+        )
+    return (
+        indices.reshape(tiles_y, tiles_x, max_per_tile),
+        jnp.minimum(counts, k).reshape(tiles_y, tiles_x),
+    )

@@ -95,15 +95,23 @@ def sharded_forward_frame(
         tri_local = _shift_viewport_rows(tri, -row0)
         xmin, xmax, ymin, ymax = aabb
         aabb_local = (xmin, xmax, ymin - row0, ymax - row0)
-        bins, _, _ = rsetup.bin_triangles(
+        passes, _ = rsetup.bin_all(
             tri_local.valid, aabb_local,
             tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-            capacity=capacity,
+            capacity=capacity, rounds=1,
         )
-        depth, tid = tile_raster.rasterize_tiles(
-            tri_local, bins, tiles_y=tiles_y, tiles_x=tiles_x
-        )
+        depth = tid = None
+        for bins, cnts in passes:
+            d_r, t_r = tile_raster.rasterize_tiles(
+                tri_local, bins, tiles_y=tiles_y, tiles_x=tiles_x, counts=cnts
+            )
+            if depth is None:
+                depth, tid = d_r, t_r
+            else:
+                take = d_r > depth
+                depth = jnp.where(take, d_r, depth)
+                tid = jnp.where(take, t_r, tid)
         depth = depth[:, :width]
         tid = tid[:, :width]
 

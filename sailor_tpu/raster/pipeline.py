@@ -54,24 +54,24 @@ def rasterize(
     tri, aabb = rsetup.triangle_setup(
         geometry, view_projection, width=width, height=height, cull=cull
     )
-    # Multi-round binning: round r rasterizes candidate slots
-    # [r*capacity, (r+1)*capacity) of each tile; depth-max merge across
-    # rounds keeps results exact under bin overflow (the "overflow passes"
+    # Sort-based binning returns several (bins, counts) passes (rounds over
+    # the small-triangle lists + one big-triangle pass); depth-max merge
+    # keeps results exact under bin overflow (the "overflow passes"
     # strategy from SURVEY.md §7).
+    passes, overflow = rsetup.bin_all(
+        tri.valid,
+        aabb,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        tile_w=tile_raster.TILE_W,
+        tile_h=tile_raster.TILE_H,
+        capacity=capacity,
+        rounds=rounds,
+    )
     depth = tid = None
-    for r in range(rounds):
-        bins, counts, overflow = rsetup.bin_triangles(
-            tri.valid,
-            aabb,
-            tiles_x=tiles_x,
-            tiles_y=tiles_y,
-            tile_w=tile_raster.TILE_W,
-            tile_h=tile_raster.TILE_H,
-            capacity=capacity,
-            slot_offset=r * capacity,
-        )
+    for bins, counts in passes:
         d_r, t_r = tile_raster.rasterize_tiles(
-            tri, bins, tiles_y=tiles_y, tiles_x=tiles_x
+            tri, bins, tiles_y=tiles_y, tiles_x=tiles_x, counts=counts
         )
         if depth is None:
             depth, tid = d_r, t_r

@@ -208,6 +208,139 @@ def triangle_setup(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tiles_x", "tiles_y", "tile_w", "tile_h", "capacity", "rounds",
+        "big_capacity",
+    ),
+)
+def bin_all(
+    valid,
+    screen_aabb,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    capacity: int,
+    rounds: int = 1,
+    big_capacity: int = 64,
+):
+    """Sort-based tile binning. Returns a list of (bins, counts) passes to
+    rasterize + merge (depth max), plus an overflow counter.
+
+    Design (the fast path on TPU): ~all triangles span at most 2x2 tiles, so
+    each emits its <=4 corner-tile keys packed as tile_id * T + tri_id; one
+    jnp.sort groups them tile-major, and per-tile ranges come from a binary
+    search over the SMALL (4T,) sorted array — every gather touches a
+    VMEM-stageable table. (The previous dense (Tiles, T) cumsum approach
+    probed a table of hundreds of MB; random HBM gathers at ~20ns/element
+    made binning the whole frame's bottleneck.) Triangles spanning more
+    than 2x2 tiles (large walls/floors) are few: they take a dense
+    (Tiles, big_capacity) test in a separate pass.
+    """
+    xmin, xmax, ymin, ymax = screen_aabb
+    t = valid.shape[0]
+    ntiles = tiles_y * tiles_x
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    small = valid & (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
+    big = valid & ~small
+
+    # ---- small triangles: 4 corner keys, sort, range lookup ----------------
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+    corners = [
+        (ty0, tx0),
+        (ty0, tx1),
+        (ty1, tx0),
+        (ty1, tx1),
+    ]
+    keys = []
+    seen = []
+    for (cy, cx) in corners:
+        tile = cy * tiles_x + cx
+        dup = jnp.zeros((t,), bool)
+        for p in seen:
+            dup = dup | (p == tile)
+        k = jnp.where(small & ~dup, tile * t + tri_ids, ntiles * t)
+        seen.append(tile)
+        keys.append(k)
+    keys = jnp.concatenate(keys)              # (4T,)
+    skeys = jnp.sort(keys)
+    s_tile = skeys // t
+    s_tri = jnp.where(s_tile < ntiles, skeys - s_tile * t, -1)
+
+    # per-tile [start, end) via fixed-step binary search over the small array
+    n4 = skeys.shape[0]
+    steps = max(1, n4.bit_length())  # hi starts EXCLUSIVE (= n4)
+
+    def lower_bound(targets):
+        lo = jnp.zeros(targets.shape, jnp.int32)
+        hi = jnp.full(targets.shape, n4, jnp.int32)
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            v = s_tile[jnp.minimum(mid, n4 - 1)]
+            ge = v >= targets
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        return lo
+
+    tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
+    starts = lower_bound(tile_ids)
+    ends = lower_bound(tile_ids + 1)
+    counts = ends - starts
+
+    passes = []
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    for r in range(rounds):
+        off = r * capacity
+        idx = starts[:, None] + off + slots[None, :]
+        ok = (off + slots[None, :]) < counts[:, None]
+        bins = jnp.where(ok, s_tri[jnp.minimum(idx, n4 - 1)], -1)
+        passes.append(
+            (bins.reshape(tiles_y, tiles_x, capacity),
+             jnp.clip(counts - off, 0, capacity).reshape(tiles_y, tiles_x))
+        )
+    overflow = jnp.maximum(counts - rounds * capacity, 0).sum()
+
+    # ---- big triangles: dense test against a small compacted list ---------
+    bcount = jnp.cumsum(big.astype(jnp.int32))
+    n_big = bcount[-1]
+    bsteps = max(1, (t - 1).bit_length())
+    bslots = jnp.arange(big_capacity, dtype=jnp.int32)
+    lo = jnp.zeros((big_capacity,), jnp.int32)
+    hi = jnp.full((big_capacity,), t - 1, jnp.int32)
+    for _ in range(bsteps):
+        mid = (lo + hi) >> 1
+        ge = bcount[mid] >= bslots + 1
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, t - 1))
+    big_ids = jnp.where(bslots < n_big, hi, -1)          # (B,)
+    safe_big = jnp.maximum(big_ids, 0)
+    cy = jnp.arange(tiles_y, dtype=jnp.int32)
+    cx = jnp.arange(tiles_x, dtype=jnp.int32)
+    ov = (
+        (cy[:, None, None] >= ty0[safe_big][None, None, :])
+        & (cy[:, None, None] <= ty1[safe_big][None, None, :])
+        & (cx[None, :, None] >= tx0[safe_big][None, None, :])
+        & (cx[None, :, None] <= tx1[safe_big][None, None, :])
+        & (big_ids >= 0)[None, None, :]
+    )  # (Ty, Tx, B)
+    big_bins = jnp.where(ov, safe_big[None, None, :], -1)
+    # pack live entries first per tile (no need: kernel masks -1 per chunk,
+    # but the count-based early exit needs them contiguous — sort descending
+    # validity stable by slot).
+    order = jnp.argsort(~ov, axis=-1, stable=True)
+    big_bins = jnp.take_along_axis(big_bins, order, axis=-1)
+    big_counts = ov.sum(axis=-1)
+    overflow = overflow + jnp.maximum(n_big - big_capacity, 0)
+    passes.append((big_bins, big_counts))
+    return passes, overflow
+
+
+@functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "capacity")
 )
 def bin_triangles(
@@ -262,9 +395,11 @@ def bin_triangles(
     target = (slots + 1)[None, :]  # (1, C)
     lo = jnp.zeros((csum.shape[0], capacity), jnp.int32)
     hi = jnp.full((csum.shape[0], capacity), t - 1, jnp.int32)
-    for _ in range(steps):
+    csum_flat = csum.reshape(-1)  # flat 1-D gathers: 2-D take_along_axis
+    row_base = (jnp.arange(csum.shape[0], dtype=jnp.int32) * t)[:, None]
+    for _ in range(steps):  # hits a ~15x slower TPU gather path (measured)
         mid = (lo + hi) >> 1
-        v = jnp.take_along_axis(csum, mid, axis=1)
+        v = csum_flat[row_base + mid]
         ge = v >= target
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, jnp.minimum(mid + 1, t - 1))
