@@ -166,3 +166,49 @@ class AssetRegistry:
                 for fn in self.listeners:
                     fn(info)
         return reloaded
+
+
+# ---------------------------------------------------------------------------
+# Async loading on the native scheduler (TextureImporter's async load tasks /
+# worker-thread import path in the reference).
+# ---------------------------------------------------------------------------
+
+_scheduler = None
+
+
+def _get_scheduler():
+    global _scheduler
+    if _scheduler is None:
+        from sailor_tpu import native_bridge
+
+        if native_bridge.available():
+            _scheduler = native_bridge.Scheduler()
+    return _scheduler
+
+
+def load_async(registry: AssetRegistry, path: str):
+    """Submit an asset load to the native worker pool; returns a handle with
+    .wait() -> asset. Falls back to synchronous load without the toolchain."""
+    sched = _get_scheduler()
+    if sched is None:
+        value = registry.load(path)
+
+        class _Done:
+            def wait(self):
+                return value
+
+            def is_done(self):
+                return True
+
+        return _Done()
+
+    tid = sched.submit(lambda: registry.load(path))
+
+    class _Handle:
+        def wait(self):
+            return sched.wait(tid)
+
+        def is_done(self):
+            return sched.is_done(tid)
+
+    return _Handle()
