@@ -1,0 +1,94 @@
+"""Console command dispatch — counterpart of the reference's stdin console
+(Runtime/Sailor.cpp:219-252): `scan`, `stats.memory`, the container/memory
+benchmark commands, plus world save/load and frame-graph refresh."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from sailor_tpu.utils.log import SAILOR_LOG
+
+
+class Console:
+    def __init__(self, world=None, renderer=None, assets=None):
+        self.world = world
+        self.renderer = renderer
+        self.assets = assets
+        self.commands: dict[str, Callable[[list[str]], str]] = {}
+        self._register_defaults()
+
+    def register(self, name: str, fn: Callable[[list[str]], str]) -> None:
+        self.commands[name] = fn
+
+    def execute(self, line: str) -> str:
+        parts = line.strip().split()
+        if not parts:
+            return ""
+        cmd, args = parts[0], parts[1:]
+        fn = self.commands.get(cmd)
+        if fn is None:
+            return f"unknown command '{cmd}' (try: {', '.join(sorted(self.commands))})"
+        out = fn(args)
+        SAILOR_LOG("console: %s -> %s", line.strip(), out.splitlines()[0] if out else "ok")
+        return out
+
+    # -- defaults ---------------------------------------------------------------
+
+    def _register_defaults(self) -> None:
+        self.register("scan", self._cmd_scan)
+        self.register("stats.memory", self._cmd_stats_memory)
+        self.register("world.save", self._cmd_world_save)
+        self.register("refresh", self._cmd_refresh)
+        # benchmark commands (reference: memory/vector/set/map/list/octree.benchmark)
+        from sailor_tpu.utils import benchmarks
+
+        for name in benchmarks.ALL:
+            self.register(
+                f"{name}.benchmark",
+                lambda args, n=name: benchmarks.run(n),
+            )
+
+    def _cmd_scan(self, args) -> str:
+        if self.assets is None:
+            return "no asset registry"
+        n = self.assets.scan_content_folder()
+        reloaded = self.assets.check_hot_reload()
+        return f"scanned {n} assets, hot-reloaded {len(reloaded)}"
+
+    def _cmd_stats_memory(self, args) -> str:
+        """GPU/host arena occupancy (Renderer.cpp stats.memory analog)."""
+        import jax
+
+        lines = []
+        for d in jax.devices():
+            try:
+                s = d.memory_stats()
+                lines.append(
+                    f"{d}: in_use={s.get('bytes_in_use', 0)/1e6:.1f}MB "
+                    f"limit={s.get('bytes_limit', 0)/1e6:.1f}MB"
+                )
+            except Exception:
+                lines.append(f"{d}: (no memory stats)")
+        if self.world is not None:
+            lines.append(
+                f"transform pool: {self.world.transforms.pool.num_alive}"
+                f"/{self.world.transforms.pool.capacity}"
+            )
+        return "\n".join(lines) or "no devices"
+
+    def _cmd_world_save(self, args) -> str:
+        if self.world is None:
+            return "no world"
+        path = args[0] if args else "/tmp/world_save.world"
+        self.world.save(path)
+        return f"saved {path}"
+
+    def _cmd_refresh(self, args) -> str:
+        """F5: rescan assets + rebuild frame graph."""
+        out = []
+        if self.assets is not None:
+            out.append(self._cmd_scan(args))
+        if self.renderer is not None:
+            self.renderer.refresh_frame_graph()
+            out.append("frame graph refreshed")
+        return "; ".join(out) or "nothing to refresh"

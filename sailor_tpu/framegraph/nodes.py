@@ -414,3 +414,67 @@ class DebugDrawNode(BaseNode):
             targets["Main"], ctx.scene.frame.view_projection
         )
         return targets
+
+
+@node("CopyTextureToRam")
+class CopyTextureToRamNode(BaseNode):
+    """GPU -> host readback marker (CopyTextureToRamNode.cpp, used for
+    editor thumbnails). Under jit nothing happens; after process() returns,
+    call ``fetch(targets)`` to pull the chosen target to numpy."""
+
+    def process(self, ctx, targets):
+        targets.setdefault("readback", []).append(self.p("target", "Final"))
+        return targets
+
+    @staticmethod
+    def fetch(targets):
+        import numpy as np
+
+        return {
+            name: np.asarray(targets[name])
+            for name in targets.get("readback", [])
+            if name in targets
+        }
+
+
+@node("Particles")
+class ParticlesNode(BaseNode):
+    """GPU particle playback (experimental ParticlesNode.cpp analog).
+
+    Particle state (pos/vel/life) lives in the temporal ``state`` dict and
+    integrates on device per frame; rendering splats additive points into Main.
+    """
+
+    def process(self, ctx, targets):
+        state = ctx.state or {}
+        if "particles/pos" not in state:
+            return targets
+        pos = state["particles/pos"]
+        vel = state["particles/vel"]
+        life = state["particles/life"]
+        dt = ctx.scene.frame.delta_time
+        gravity = jnp.asarray([0.0, float(self.p("gravity", -2.0)), 0.0])
+        vel = vel + gravity * dt
+        pos = pos + vel * dt
+        life = life - dt
+        alive = life > 0.0
+        out = targets.setdefault("state_out", {})
+        out["particles/pos"] = pos
+        out["particles/vel"] = vel
+        out["particles/life"] = life
+
+        # splat into Main (additive)
+        main = targets.get("main" if "main" in targets else "Main")
+        if main is None:
+            return targets
+        h, w = main.shape[:2]
+        vp = ctx.scene.frame.view_projection
+        clip = m3.transform_point_h(vp, pos)
+        ndc = clip[..., :3] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-6)
+        xs = jnp.clip(((ndc[:, 0] * 0.5 + 0.5) * w).astype(jnp.int32), 0, w - 1)
+        ys = jnp.clip(((0.5 - ndc[:, 1] * 0.5) * h).astype(jnp.int32), 0, h - 1)
+        ok = alive & (clip[:, 3] > 1e-6) & (ndc[:, 2] > 0) & (ndc[:, 2] <= 1)
+        color = jnp.asarray(self.p("color", [4.0, 2.5, 1.0]))
+        add = jnp.where(ok[:, None], color[None, :], 0.0)
+        targets["Main"] = main.at[ys, xs].add(add)
+        return targets

@@ -1,0 +1,112 @@
+"""Auxiliary engine subsystems: debug draw, console, editor protocol,
+in-engine benchmark suite, particles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sailor_tpu.core import math3d as m3
+from sailor_tpu.engine import World
+from sailor_tpu.engine.components import CameraComponent, MeshRendererComponent
+from sailor_tpu.engine.console import Console
+from sailor_tpu.engine.editor_server import EditorServer
+from sailor_tpu.rhi.debug_context import DebugContext
+from sailor_tpu.utils import benchmarks
+
+
+def test_debug_context_draw_and_expire():
+    dbg = DebugContext()
+    dbg.draw_line([0, 0, -5], [1, 0, -5], duration=0.1)
+    dbg.draw_aabb([-1, -1, -6], [1, 1, -4], duration=0.0)
+    dbg.draw_origin(duration=1.0)
+    assert dbg.has_lines
+    view = m3.look_at(jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, -1.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 2, 1.0, 0.1, 100.0)
+    img = jnp.zeros((64, 64, 3))
+    out = np.asarray(dbg.rasterize_over(img, proj @ view))
+    assert out.sum() > 0  # pixels were written
+    n0 = len(dbg._lines)
+    dbg.tick(0.5)  # expire the 0.1s and 0.0s lines; keep 1.0s ones
+    assert len(dbg._lines) < n0
+
+
+def test_console_commands():
+    w = World()
+    con = Console(world=w)
+    out = con.execute("stats.memory")
+    assert "pool" in out
+    assert "unknown command" in con.execute("frobnicate")
+    out = con.execute("pool.benchmark")
+    assert "PASSED" in out
+
+
+def test_benchmark_suite_all_pass():
+    for name in benchmarks.ALL:
+        out = benchmarks.run(name)
+        assert "FAILED" not in out, out
+
+
+def test_editor_server_roundtrip(tmp_path):
+    srv = EditorServer()
+    srv.initialize("content/Editor.world")
+    srv.start()
+    srv.set_viewport(640, 480)
+    srv.tick(1 / 60)
+    # serialize -> contains the named objects
+    text = srv.serialize_current_world()
+    assert "Camera" in text and "instanceId" in text
+    # live patch via instance id (editor inspector path)
+    box = srv.world.find("Box")
+    ok = srv.update_object(
+        box.instance_id,
+        "position: [3.0, 1.0, 2.0]\n"
+        "components:\n"
+        "  - typename: MeshRendererComponent\n"
+        "    material_id: 7\n",
+    )
+    assert ok
+    np.testing.assert_allclose(box.position, [3.0, 1.0, 2.0])
+    assert box.get_component(MeshRendererComponent).material_id == 7
+    assert not srv.update_object("nonexistent0000", "position: [0,0,0]")
+    msgs = srv.get_messages()
+    assert isinstance(msgs, list)
+    srv.shutdown()
+
+
+def test_particles_node_updates_state():
+    from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+    from sailor_tpu.kernels.lights import DIRECTIONAL, Lights
+    from sailor_tpu.raster.setup import Geometry
+    from sailor_tpu.rhi.scene_view import SceneView
+    from sailor_tpu.rhi.types import FrameData
+    from sailor_tpu.assets import primitives
+
+    soup = primitives.merge([(primitives.plane(10.0), np.eye(4))])
+    geo = Geometry(
+        position=jnp.asarray(soup["position"]), normal=jnp.asarray(soup["normal"]),
+        uv=jnp.asarray(soup["uv"]), color=jnp.asarray(soup["color"]),
+        indices=jnp.asarray(soup["indices"]), material_id=jnp.asarray(soup["material_id"]),
+    )
+    lights = Lights.from_host(types=[DIRECTIONAL], positions=[[0, 0, 0]],
+                              directions=[[0, -1, 0]], intensities=[[1, 1, 1]])
+    cam = jnp.asarray([0.0, 2.0, 5.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 50.0, dt=0.1)
+    scene = SceneView.create(geo, lights, frame)
+    asset = FrameGraphAsset.from_yaml(
+        "frame:\n - name: DepthPrepass\n - name: LinearizeDepth\n"
+        " - name: LightCulling\n - name: RenderScene\n - name: Particles\n"
+        " - name: EyeAdaptation\n"
+    )
+    fg = FrameGraph(asset, 64, 64, config={"bin_capacity": 64, "bin_rounds": 1})
+    state = fg.initial_state()
+    n = 32
+    state["particles/pos"] = jnp.zeros((n, 3)).at[:, 1].set(1.0)
+    state["particles/vel"] = jnp.zeros((n, 3)).at[:, 1].set(2.0)
+    state["particles/life"] = jnp.full((n,), 1.0)
+    fg.prepare(scene, state)
+    targets, state2 = fg.process(scene, state)
+    assert float(state2["particles/pos"][:, 1].mean()) > 1.0  # moved up
+    assert float(state2["particles/life"][0]) < 1.0
+    assert np.isfinite(np.asarray(targets["Final"])).all()
