@@ -290,18 +290,28 @@ class RenderSceneNode(BaseNode):
         if "AO" in targets:
             gbuffer = gbuffer.replace(ao=targets["AO"])
 
-        # CSM shadow factor for the sun
+        # CSM shadow factor for the sun — computed at half resolution and
+        # upsampled (PCF output is already soft; the taps are HBM-latency
+        # bound so pixel count is the direct cost).
         shadow = None
         if "ShadowMaps" in targets:
-            shadow = shadow_k.csm_shadow_factor(
-                gbuffer.world_position, gbuffer.normal, scene.frame.view,
+            shadow_q = shadow_k.csm_shadow_factor(
+                gbuffer.world_position[::2, ::2], gbuffer.normal[::2, ::2],
+                scene.frame.view,
                 scene.sky.sun_direction, targets["LightMatrices"],
                 targets["ShadowMaps"], targets.get("EvsmMap"),
                 z_far=float(ctx.config.get("z_far", 100.0)),
                 use_evsm=True,
             )
+            shadow = sampling.blit(
+                shadow_q[..., None], (ctx.height, ctx.width)
+            )[..., 0]
 
-        # IBL ambient if the environment bake is present
+        # IBL ambient if the environment bake is present. Computed at
+        # quarter resolution and bilinearly upsampled: the ambient term is
+        # low-frequency and its ~100 cubemap gathers per pixel dominated the
+        # frame at full res (the reference renders HBAO/sky half-res for the
+        # same reason).
         ibl_ambient = None
         state = ctx.state or {}
         if "env/irradiance" in state:
@@ -309,10 +319,15 @@ class RenderSceneNode(BaseNode):
             view_dir = m3.normalize(
                 gbuffer.world_position - scene.frame.camera_position
             )
-            ibl_ambient = ibl_k.ambient_ibl(
-                gbuffer.albedo, gbuffer.metallic, gbuffer.roughness,
-                gbuffer.ao, gbuffer.normal, view_dir,
+            q = 2
+            amb_q = ibl_k.ambient_ibl(
+                gbuffer.albedo[::q, ::q], gbuffer.metallic[::q, ::q],
+                gbuffer.roughness[::q, ::q], gbuffer.ao[::q, ::q],
+                gbuffer.normal[::q, ::q], view_dir[::q, ::q],
                 state["env/irradiance"], mips, state["env/brdf_lut"],
+            )
+            ibl_ambient = sampling.blit(
+                amb_q, (ctx.height, ctx.width)
             ) * gbuffer.coverage[..., None]
 
         t = cfg.LIGHTS_CULLING_TILE_SIZE

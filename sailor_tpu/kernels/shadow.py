@@ -198,7 +198,9 @@ def shadow_evsm(evsm_map, light_mat, world_pos, *, light_bleed: float = 0.2):
     """EVSM shadow factor using blurred moments (ShadowCalculation_Evsm)."""
     uv, z_rev, ok = _project_to_shadow(light_mat, world_pos)
     z = 1.0 - z_rev + 0.002  # standard depth + small receiver bias
-    moments = sampling.sample_bilinear(evsm_map, uv)  # (..., 4)
+    # nearest tap: the moments map is already Gaussian-blurred, so the
+    # bilinear filter adds 3 extra 16MB-table gathers for no visible gain
+    moments = sampling.sample_nearest(evsm_map, uv)  # (..., 4)
     pz = jnp.exp(config.EVSM_C1 * z)
     nz = -jnp.exp(-config.EVSM_C2 * z)
     lit_p = chebyshev(moments[..., 0], moments[..., 1], pz, 0.01, light_bleed)
