@@ -286,6 +286,7 @@ class RenderSceneNode(BaseNode):
         gbuffer, uv, mat_id = interpolate.resolve_gbuffer(
             scene.geometry, targets["TriSetup"], targets["TriId"],
             inv_vp, scene.frame.camera_position,
+            materials=scene.materials,
         )
         if "AO" in targets:
             gbuffer = gbuffer.replace(ao=targets["AO"])

@@ -28,10 +28,11 @@ class SceneView:
     sky: SkyParams
     star_dirs: jnp.ndarray    # (S, 3) — pass zeros((0,3)) when disabled
     star_colors: jnp.ndarray  # (S, 3)
+    materials: "object" = None  # optional MaterialTable (assets/materials.py)
 
     @classmethod
     def create(cls, geometry, lights, frame, sky=None, prev_frame=None,
-               star_dirs=None, star_colors=None):
+               star_dirs=None, star_colors=None, materials=None):
         return cls(
             geometry=geometry,
             lights=lights,
@@ -40,4 +41,5 @@ class SceneView:
             sky=sky if sky is not None else SkyParams.default(),
             star_dirs=jnp.zeros((0, 3)) if star_dirs is None else jnp.asarray(star_dirs),
             star_colors=jnp.zeros((0, 3)) if star_colors is None else jnp.asarray(star_colors),
+            materials=materials,
         )

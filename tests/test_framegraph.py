@@ -101,3 +101,40 @@ frame:
     assert "Final" in targets
     assert set(timings) >= {"DepthPrepass", "RenderScene", "EyeAdaptation"}
     assert np.isfinite(np.asarray(targets["Final"])).all()
+
+
+def test_material_table_in_raster_path():
+    from sailor_tpu.assets.materials import MaterialTable
+
+    # checkerboard texture on material 0
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[::2, ::2] = [1, 0, 0, 1]
+    tex[1::2, 1::2] = [1, 0, 0, 1]
+    tex[tex[..., 3] == 0] = [0, 0, 1, 1]
+    mt = MaterialTable.from_host(
+        {
+            "albedo": np.ones((1, 3), np.float32),
+            "metallic": np.zeros(1, np.float32),
+            "roughness": np.full(1, 0.7, np.float32),
+            "emissive": np.zeros((1, 3), np.float32),
+            "albedo_texture": np.zeros(1, np.int32),
+        },
+        [tex], texture_size=8,
+    )
+    scene = _scene_view()
+    scene = scene.replace(materials=mt)
+    asset = FrameGraphAsset.from_yaml(
+        "frame:\n - name: DepthPrepass\n - name: LinearizeDepth\n"
+        " - name: LightCulling\n - name: RenderScene\n - name: EyeAdaptation\n"
+    )
+    fg = FrameGraph(asset, W, H, config={"bin_capacity": 256, "bin_rounds": 2})
+    state = fg.initial_state()
+    fg.prepare(scene, state)
+    targets, _ = fg.process(scene, state)
+    final = np.asarray(targets["Final"])
+    assert np.isfinite(final).all()
+    # textured surface: red and blue pixels both present on geometry
+    cov = np.asarray(targets["Main"]).sum(-1) > 0
+    reds = (final[..., 0] > final[..., 2]) & cov
+    blues = (final[..., 2] > final[..., 0]) & cov
+    assert reds.sum() > 50 and blues.sum() > 50
