@@ -165,6 +165,7 @@ class GLTF:
             "roughness": np.full(n, 0.6, np.float32),
             "emissive": np.zeros((n, 3), np.float32),
             "albedo_texture": np.full(n, -1, np.int32),
+            "normal_texture": np.full(n, -1, np.int32),
         }
         for i, m in enumerate(mats):
             pbr = m.get("pbrMetallicRoughness", {})
@@ -174,8 +175,21 @@ class GLTF:
             table["roughness"][i] = pbr.get("roughnessFactor", 1.0)
             table["emissive"][i] = m.get("emissiveFactor", [0, 0, 0])
             if "baseColorTexture" in pbr:
-                table["albedo_texture"][i] = pbr["baseColorTexture"]["index"]
+                table["albedo_texture"][i] = self._image_of(
+                    pbr["baseColorTexture"]["index"]
+                )
+            if "normalTexture" in m:
+                table["normal_texture"][i] = self._image_of(
+                    m["normalTexture"]["index"]
+                )
         return table
+
+    def _image_of(self, texture_index: int) -> int:
+        """GLTF texture index -> image index (the stacked-texture layer)."""
+        textures = self.doc.get("textures", [])
+        if 0 <= texture_index < len(textures):
+            return textures[texture_index].get("source", -1)
+        return -1
 
     def load_texture_images(self):
         """Decode all images to float32 linear RGBA arrays (needs imageio)."""

@@ -25,7 +25,19 @@ class MaterialTable:
     roughness: jnp.ndarray       # (M,)
     emissive: jnp.ndarray        # (M, 3)
     albedo_texture: jnp.ndarray  # (M,) int32 layer or -1
+    normal_texture: jnp.ndarray  # (M,) int32 layer or -1 (tangent-space map)
     textures: jnp.ndarray        # (N, S, S, 4) stacked linear RGBA
+
+    def sample_normal(self, mat_id, uv):
+        """Tangent-space normal from the material's normal map; returns
+        ((..., 3) normal in [-1,1], (...,) has_map mask)."""
+        layer = self.normal_texture[mat_id]
+        if self.textures.shape[0] == 0:
+            z = jnp.zeros(mat_id.shape + (3,))
+            return z.at[..., 2].set(1.0), jnp.zeros(mat_id.shape, bool)
+        tex = _sample_texture_stack(self.textures, layer, uv)
+        n = tex[..., :3] * 2.0 - 1.0
+        return n, layer >= 0
 
     def sample(self, mat_id, uv):
         """Per-pixel material fetch (mat_id (H, W), uv (H, W, 2)).
@@ -58,6 +70,9 @@ class MaterialTable:
             emissive=jnp.asarray(table["emissive"]),
             albedo_texture=jnp.asarray(
                 table.get("albedo_texture", np.full(len(table["albedo"]), -1, np.int32))
+            ),
+            normal_texture=jnp.asarray(
+                table.get("normal_texture", np.full(len(table["albedo"]), -1, np.int32))
             ),
             textures=textures,
         )

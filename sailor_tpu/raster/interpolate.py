@@ -85,6 +85,28 @@ def resolve_gbuffer(
     if materials is not None:
         albedo, metallic, roughness, emissive = materials.sample(mat_id, uv)
         albedo = albedo * color
+        # Tangent-space normal mapping (Standard.shader tangentBasis):
+        # the tangent frame derives per face from the triangle's positions
+        # and UVs — no stored tangents needed with a visibility buffer,
+        # since all three vertices are already gathered here.
+        n_ts, has_map = materials.sample_normal(mat_id, uv)
+        uv0 = geometry.uv[vidx[..., 0]]
+        duv1 = geometry.uv[vidx[..., 1]] - uv0
+        duv2 = geometry.uv[vidx[..., 2]] - uv0
+        denom = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
+        inv = jnp.where(jnp.abs(denom) > 1e-12, 1.0 / denom, 0.0)[..., None]
+        t_raw = (e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2]) * inv
+        # Gram-Schmidt against the shading normal
+        t_ortho = m3.normalize(
+            t_raw - normal * m3.dot(normal, t_raw, keepdims=True)
+        )
+        b = jnp.cross(normal, t_ortho) * jnp.sign(denom)[..., None]
+        n_mapped = m3.normalize(
+            t_ortho * n_ts[..., 0:1] + b * n_ts[..., 1:2] + normal * n_ts[..., 2:3]
+        )
+        normal = jnp.where(
+            (has_map & (jnp.abs(denom) > 1e-12))[..., None], n_mapped, normal
+        )
     else:
         albedo = color
         metallic = jnp.zeros((H, W))
