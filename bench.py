@@ -99,6 +99,7 @@ def bench_forward(width, height, num_lights, num_objects, frames):
             "bin_capacity": 1024,
             "bin_rounds": 2,
             "max_lights_per_tile": 128,
+            "pallas_shading": True,
         },
     )
     state = fg.initial_state()

@@ -344,12 +344,22 @@ class RenderSceneNode(BaseNode):
             shadow = pad2(shadow) if shadow is not None else None
             ibl_ambient = pad2(ibl_ambient) if ibl_ambient is not None else None
 
-        hdr = pbr.shade_forward_plus(
-            gb_p, scene.lights, targets["LightIndices"],
-            scene.frame.camera_position,
-            shadow_factors=shadow,
-            ibl_ambient=ibl_ambient,
-        )[: ctx.height, : ctx.width]
+        if ctx.config.get("pallas_shading", False):
+            from sailor_tpu.kernels import pbr_pallas
+
+            hdr = pbr_pallas.shade_forward_plus_pallas(
+                gb_p, scene.lights, targets["LightIndices"],
+                scene.frame.camera_position,
+                shadow_factors=shadow,
+                ibl_ambient=ibl_ambient,
+            )[: ctx.height, : ctx.width]
+        else:
+            hdr = pbr.shade_forward_plus(
+                gb_p, scene.lights, targets["LightIndices"],
+                scene.frame.camera_position,
+                shadow_factors=shadow,
+                ibl_ambient=ibl_ambient,
+            )[: ctx.height, : ctx.width]
 
         # compose over the sky background
         if "Sky" in targets:

@@ -183,3 +183,43 @@ def test_brdf_energy_sanity():
     assert float(pbr.ndf_ggx(jnp.asarray(1.0), jnp.asarray(0.1))) > float(
         pbr.ndf_ggx(jnp.asarray(1.0), jnp.asarray(0.9))
     )
+
+
+def test_pallas_shading_matches_jnp():
+    """The Pallas Forward+ kernel must reproduce the jnp reference path."""
+    from sailor_tpu.kernels import pbr_pallas
+
+    rng = np.random.default_rng(0)
+    h, w = 4 * TILE, 8 * TILE
+    nr = rng.normal(size=(h, w, 3)).astype(np.float32)
+    gb = pbr.GBuffer(
+        world_position=jnp.asarray(rng.uniform(-5, 5, (h, w, 3)).astype(np.float32)),
+        normal=m3.normalize(jnp.asarray(nr)),
+        albedo=jnp.asarray(rng.uniform(0, 1, (h, w, 4)).astype(np.float32)),
+        metallic=jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32)),
+        roughness=jnp.asarray(rng.uniform(0.1, 1, (h, w)).astype(np.float32)),
+        ao=jnp.ones((h, w)),
+        emissive=jnp.zeros((h, w, 3)),
+        coverage=jnp.ones((h, w)),
+    )
+    n = 9
+    lights = Lights.from_host(
+        types=[DIRECTIONAL] + [POINT] * 4 + [SPOT] * 4,
+        positions=rng.uniform(-5, 5, (n, 3)),
+        directions=[[0, -1, 0]] * n,
+        intensities=rng.uniform(0.5, 3, (n, 3)),
+        attenuations=[[1, 0, 0.5]] * n,
+        cutoffs=[[0.9, 0.6]] * n,
+        radii=[8.0] * n,
+    )
+    idx = jnp.asarray(rng.integers(-1, n, (h // TILE, w // TILE, 32)).astype(np.int32))
+    cam = jnp.asarray([0.0, 3.0, 8.0])
+    shadow = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    ref = pbr.shade_forward_plus(
+        gb, lights, idx, cam, shadow_factors=shadow, ambient=(0, 0, 0)
+    )
+    got = pbr_pallas.shade_forward_plus_pallas(
+        gb, lights, idx, cam, shadow_factors=shadow,
+        ibl_ambient=jnp.zeros((h, w, 3)),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
