@@ -72,6 +72,7 @@ class AssetRegistry:
             ),
         )
         self.register_importer(".world", lambda p, meta: yaml.safe_load(open(p)))
+        self.register_importer(".prefab", lambda p, meta: yaml.safe_load(open(p)))
         for ext in (".png", ".jpg", ".jpeg", ".bmp", ".tga", ".gif", ".hdr", ".exr"):
             self.register_importer(ext, lambda p, meta: textures.load(p, **(meta or {})))
         self.register_importer(".bsc5", lambda p, meta: stars.load(p))

@@ -110,3 +110,47 @@ def test_particles_node_updates_state():
     assert float(state2["particles/pos"][:, 1].mean()) > 1.0  # moved up
     assert float(state2["particles/life"][0]) < 1.0
     assert np.isfinite(np.asarray(targets["Final"])).all()
+
+
+def test_prefab_roundtrip(tmp_path):
+    from sailor_tpu.engine import prefab
+
+    w = World()
+    root = w.instantiate("rig")
+    root.position = [1, 0, 0]
+    child = w.instantiate("lamp")
+    child.set_parent(root)
+    child.position = [0, 2, 0]
+    child.add_component(
+        __import__("sailor_tpu.engine.components", fromlist=["LightComponent"])
+        .LightComponent(light_type=1, intensity=[5, 1, 1])
+    )
+    path = str(tmp_path / "rig.prefab")
+    prefab.save(root, path)
+
+    w2 = World()
+    inst = prefab.instantiate(w2, path, position=[10, 0, 0])
+    assert inst.name == "rig"
+    np.testing.assert_allclose(inst.position, [10, 0, 0])
+    lamp = w2.find("lamp")
+    assert lamp is not None and lamp.parent is inst
+    # two instantiations coexist with distinct instance ids
+    inst2 = prefab.instantiate(w2, path, position=[-10, 0, 0])
+    assert inst2.instance_id != inst.instance_id
+    w2.tick(1 / 60)
+    assert int(w2.lighting.snapshot.num) == 2
+
+
+def test_cli_main(tmp_path):
+    from sailor_tpu.__main__ import main
+
+    out = str(tmp_path / "frame.png")
+    rc = main([
+        "--cpu", "--width", "128", "--height", "96", "--frames", "2",
+        "--out", out, "--command", "stats.memory",
+    ])
+    assert rc == 0
+    import imageio.v2 as imageio
+
+    img = imageio.imread(out)
+    assert img.shape == (96, 128, 3)
