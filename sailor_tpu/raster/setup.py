@@ -166,14 +166,35 @@ def triangle_setup(
     orient = jnp.where(area2 < 0.0, 1.0, -1.0)
 
     def edges_for(i, j):
-        a, b, c = _edge_coeffs(tx[:, i], ty[:, i], tx[:, j], ty[:, j])
-        return jnp.stack([a, b, c], axis=-1)
+        # Canonicalize endpoint order (lexicographic) so the SAME edge
+        # shared by two adjacent triangles produces bit-identical E values
+        # in both — otherwise fp rounding can make E slightly negative for
+        # both triangles and pixels on the shared edge drop out (visible
+        # as dotted seams). The swap flips E's sign, compensated here.
+        xa, ya, xb, yb = tx[:, i], ty[:, i], tx[:, j], ty[:, j]
+        swap = (xa > xb) | ((xa == xb) & (ya > yb))
+        x0 = jnp.where(swap, xb, xa)
+        y0 = jnp.where(swap, yb, ya)
+        x1 = jnp.where(swap, xa, xb)
+        y1 = jnp.where(swap, ya, yb)
+        a, b, c = _edge_coeffs(x0, y0, x1, y1)
+        s = jnp.where(swap, -1.0, 1.0)
+        return jnp.stack([a * s, b * s, c * s], axis=-1)
 
     # Edge k is opposite vertex k (edge from v_{k+1} to v_{k+2}).
     e0 = edges_for(1, 2)
     e1 = edges_for(2, 0)
     e2 = edges_for(0, 1)
     edge = jnp.stack([e0, e1, e2], axis=1) * orient[:, None, None]  # (T,3,3)
+    # Normalize each edge function to signed PIXEL distance so the raster
+    # kernel can apply a uniform sub-pixel tolerance (watertightness: clipped
+    # sub-triangles cannot share bit-identical edges, so exact >= 0 tests
+    # leave dotted seams; a -1/20 px conservative test closes them with at
+    # most 0.05 px of double coverage, resolved by the depth test).
+    escale = jax.lax.rsqrt(
+        edge[..., 0] ** 2 + edge[..., 1] ** 2 + 1e-20
+    )
+    edge = edge * escale[..., None]
 
     # Reverse-Z depth plane via Cramer's rule on [[x0,y0,1]...][A,B,C]^T=z.
     x0, x1, x2 = tx[:, 0], tx[:, 1], tx[:, 2]

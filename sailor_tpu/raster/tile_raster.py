@@ -74,8 +74,11 @@ def _raster_kernel(count_ref, edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref)
             cc = e[:, 3 * j + 2][:, None, None]
             return a * exp_px + b * exp_py + cc
 
+        # Edge functions are normalized to pixel distance; accept a small
+        # negative tolerance for watertightness across clipped shared edges.
+        eps = -0.05
         inside = (
-            (edge_val(0) >= 0.0) & (edge_val(1) >= 0.0) & (edge_val(2) >= 0.0)
+            (edge_val(0) >= eps) & (edge_val(1) >= eps) & (edge_val(2) >= eps)
         )
         z = (
             zp[:, 0][:, None, None] * exp_px
