@@ -43,11 +43,12 @@ def make_mesh(n_devices: int | None = None, axis: str = "screen") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
-def _shift_viewport_rows(tri, row_offset):
-    """Shift a TriangleSetup down by ``row_offset`` pixels: substituting
-    y' = y - off into E = Ax + By + C and the z plane only changes the
-    constant term — per-shard viewports are free."""
-    off = row_offset.astype(jnp.float32)
+def _shift_viewport_rows(tri, row0):
+    """Re-express a TriangleSetup in the local coordinates of a viewport
+    slice starting at global row ``row0``: with y_global = y_local + row0,
+    E_local(x, y') = E_global(x, y' + row0), so only the constant terms
+    change (C += B * row0) — per-shard viewports are free."""
+    off = row0.astype(jnp.float32)
     edge = tri.edge.at[..., 2].add(tri.edge[..., 1] * off)
     zplane = tri.zplane.at[..., 2].add(tri.zplane[..., 1] * off)
     return tri.replace(edge=edge, zplane=zplane)
@@ -92,7 +93,7 @@ def sharded_forward_frame(
         tri, aabb = rsetup.triangle_setup(
             scene.geometry, vp, width=width, height=height, cull="back"
         )
-        tri_local = _shift_viewport_rows(tri, -row0)
+        tri_local = _shift_viewport_rows(tri, row0)
         xmin, xmax, ymin, ymax = aabb
         aabb_local = (xmin, xmax, ymin - row0, ymax - row0)
         passes, _ = rsetup.bin_all(
