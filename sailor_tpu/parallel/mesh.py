@@ -25,8 +25,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
 
 from sailor_tpu import config as cfg
 from sailor_tpu.core import math3d as m3
@@ -34,7 +34,7 @@ from sailor_tpu.kernels import histogram as hist_k
 from sailor_tpu.kernels import light_culling, pbr, tonemap as tm
 from sailor_tpu.kernels import bloom as bloom_k
 from sailor_tpu.kernels.common import round_up
-from sailor_tpu.raster import interpolate, setup as rsetup, tile_raster
+from sailor_tpu.raster import setup as rsetup, tile_raster
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "screen") -> Mesh:
@@ -155,7 +155,7 @@ def sharded_forward_frame(
         per_shard, mesh=mesh,
         in_specs=(P(),),               # scene replicated
         out_specs=P(),                 # replicated LDR result
-        check_rep=False,
+        check_vma=False,
     )
     return fn(scene)
 
@@ -294,6 +294,6 @@ def sharded_path_trace(
 
     fn = shard_map(
         per_shard, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(scene, key)
