@@ -16,8 +16,18 @@ forward+ engine, see /root/reference) in idiomatic JAX/XLA/Pallas:
                        (reference: Runtime/AssetRegistry/)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import os as _os
 
 from sailor_tpu import config as config
+
+# ShaderCache analog: persist XLA-compiled programs across processes
+# (reference: Runtime/AssetRegistry/Shader/ShaderCache.h). Must be wired
+# before the first compile; set SAILOR_SHADER_CACHE=0 to opt out.
+if _os.environ.get("SAILOR_SHADER_CACHE", "1") not in ("0", "false"):
+    from sailor_tpu.assets import shader_cache as _shader_cache
+
+    _shader_cache.enable()
 
 __all__ = ["config", "__version__"]

@@ -200,11 +200,14 @@ class FrameGraph:
         )
         targets = self.targets.allocate()
         timings = {}
-        for n in self.nodes:
+        for i, n in enumerate(self.nodes):
             t0 = time.perf_counter()
             targets = n.process(ctx, targets)
             jax.block_until_ready(targets)
-            timings[f"{n.node_name}"] = (time.perf_counter() - t0) * 1e3
+            label = n.node_name + (
+                f"/{n.p('shader')}" if n.p("shader") else ""
+            )
+            timings[f"{i:02d}_{label}"] = (time.perf_counter() - t0) * 1e3
         new_state = dict(state)
         new_state.update(targets.pop("state_out", {}))
         return targets, new_state, timings

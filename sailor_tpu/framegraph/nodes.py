@@ -205,6 +205,8 @@ class EnvironmentNode(BaseNode):
     treats them as inputs.
     """
 
+    # per-instance bake cache (set lazily); two graphs with different skies
+    # must not clobber each other's bakes.
     _cache_key = None
     _cache = None
 
@@ -212,14 +214,17 @@ class EnvironmentNode(BaseNode):
         import numpy as np
 
         p = ctx.scene.sky
-        key = tuple(
+        res = int(ctx.config.get("env_resolution", 64))
+        key = (res,) + tuple(
             np.round(np.asarray(jnp.concatenate([
                 p.sun_direction, jnp.stack([p.sun_intensity, p.clouds_coverage])
             ])), 4).tolist()
         )
         if key == self._cache_key:
+            # still publish into THIS graph's state: a fresh FrameGraph that
+            # hits the cache must see the env maps too.
+            ctx.state.update(self._cache)
             return
-        res = int(ctx.config.get("env_resolution", 64))
 
         def radiance(d):
             return sky_k.sky_radiance(d, p, 0.0, with_clouds=False)
@@ -228,13 +233,13 @@ class EnvironmentNode(BaseNode):
         irr = ibl_k.irradiance_map(env, resolution=16, samples=128)
         mips = ibl_k.prefiltered_env_mips(env, num_mips=4, samples=32)
         lut = ibl_k.brdf_lut(resolution=64, samples=128)
-        type(self)._cache = {
+        self._cache = {
             "env/cube": env,
             "env/irradiance": irr,
             "env/brdf_lut": lut,
             **{f"env/mip{i}": m for i, m in enumerate(mips)},
         }
-        type(self)._cache_key = key
+        self._cache_key = key
         ctx.state.update(self._cache)
 
     def process(self, ctx, targets):

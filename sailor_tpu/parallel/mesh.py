@@ -96,8 +96,14 @@ def sharded_forward_frame(
         tri_local = _shift_viewport_rows(tri, row0)
         xmin, xmax, ymin, ymax = aabb
         aabb_local = (xmin, xmax, ymin - row0, ymax - row0)
+        # drop triangles entirely outside the local row slice BEFORE binning:
+        # bin_all clamps tile ranges into [0, tiles_y-1], so without this an
+        # off-slice triangle lands in the boundary tile row and can overflow
+        # the bin capacity, silently dropping real geometry at slice seams.
+        in_slice = (ymax >= row0) & (ymin < row0 + h_local)
+        valid_local = tri_local.valid & in_slice
         passes, _ = rsetup.bin_all(
-            tri_local.valid, aabb_local,
+            valid_local, aabb_local,
             tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
             capacity=capacity, rounds=1,

@@ -263,6 +263,13 @@ def bin_all(
     xmin, xmax, ymin, ymax = screen_aabb
     t = valid.shape[0]
     ntiles = tiles_y * tiles_x
+    # sort keys are tile * t + tri_id packed into int32 (sentinel ntiles*t);
+    # fail loudly instead of silently mis-binning huge scenes.
+    if (ntiles + 1) * t >= 2**31:
+        raise ValueError(
+            f"bin_all: {t} raster triangles x {ntiles} tiles overflows the "
+            "int32 sort key — split the scene or raster in slices"
+        )
     tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
     tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
     ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)

@@ -327,7 +327,12 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
 
         # ---- stack update (stack is (S, R): ray axis minor) ----------------
         col = jnp.arange(MAX_STACK)[:, None]
-        do_push = (mask > 0) & live
+        # clamp: a push at sp == MAX_STACK would silently drop the write but
+        # still bump sp, making the next pop read a zero entry and compute a
+        # garbage node index (base - 127) -> false hits. Dropping the push
+        # loses at most one subtree on pathologically deep trees; never
+        # corrupts traversal.
+        do_push = (mask > 0) & live & (sp < MAX_STACK)
         stack = jnp.where(
             (col == sp[None]) & do_push[None], entry[None], stack
         )

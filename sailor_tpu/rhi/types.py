@@ -69,6 +69,79 @@ class FrameData:
         )
 
 
+def _eval_size_expr(expr: str, original) -> int:
+    """Evaluate a size expression with + - * / and parentheses only.
+
+    Recursive-descent over integer tokens; rejects '**', names, and any
+    other syntax so a hostile `.renderer`/`.mat` file cannot execute code
+    or construct astronomically large values via exponentiation.
+    """
+    tokens: list = []
+    i, n = 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and expr[j].isdigit():
+                j += 1
+            tokens.append(int(expr[i:j]))
+            i = j
+        elif c in "+-*/()":
+            tokens.append(c)
+            i += 1
+        else:
+            raise ValueError(f"bad size expression: {original!r}")
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def atom():
+        t = take()
+        if t == "(":
+            v = add()
+            if take() != ")":
+                raise ValueError(f"bad size expression: {original!r}")
+            return v
+        if t == "-":
+            return -atom()
+        if isinstance(t, int):
+            return t
+        raise ValueError(f"bad size expression: {original!r}")
+
+    def mul():
+        v = atom()
+        while peek() in ("*", "/"):
+            if take() == "*":
+                v = v * atom()
+            else:
+                d = atom()
+                if d == 0:
+                    raise ValueError(f"division by zero in size: {original!r}")
+                v = v // d
+        return v
+
+    def add():
+        v = mul()
+        while peek() in ("+", "-"):
+            v = v + mul() if take() == "+" else v - mul()
+        return v
+
+    out = add()
+    if pos[0] != len(tokens):
+        raise ValueError(f"bad size expression: {original!r}")
+    if not (0 < out <= 16384 * 16384):
+        raise ValueError(f"size out of range: {original!r} -> {out}")
+    return int(out)
+
+
 @dataclasses.dataclass(frozen=True)
 class TargetSpec:
     """Declarative render-target spec parsed from `.renderer` YAML
@@ -88,10 +161,10 @@ class TargetSpec:
             expr = str(v).replace("ViewportWidth", str(vw)).replace(
                 "ViewportHeight", str(vh)
             )
-            # size expressions like "ViewportWidth/2" (FrameGraphParser)
-            if not all(c.isdigit() or c in "+-*/() " for c in expr):
-                raise ValueError(f"bad size expression: {v}")
-            return int(eval(expr))  # noqa: S307 - sanitized arithmetic
+            # size expressions like "ViewportWidth/2" (FrameGraphParser).
+            # Parsed with a tiny arithmetic grammar — NOT eval(): a content
+            # file must not be able to run "9**9**9" (or worse).
+            return _eval_size_expr(expr, v)
 
         return resolve(self.width, viewport_w, viewport_h), resolve(
             self.height, viewport_w, viewport_h

@@ -1,0 +1,109 @@
+"""Per-pass profile of the headline Forward+ frame on the current backend.
+
+Usage:
+  python tools/profile_frame.py                 # 1080p/1k lights, per-node ms
+  python tools/profile_frame.py --small         # 640x384 smoke
+  python tools/profile_frame.py --trace DIR     # dump a jax device trace too
+
+Per-node numbers come from FrameGraph.process_debug (eager, synced) — the
+Tracy/GPU-cost analog. The jitted whole-graph time is printed for contrast
+(XLA fuses across nodes, so the sum of eager nodes is an upper bound).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--trace", default=None, help="jax trace output dir")
+    ap.add_argument("--frames", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    import bench
+    from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+
+    if args.small:
+        width, height, num_lights, num_objects = 640, 384, 128, 24
+    else:
+        width, height, num_lights, num_objects = 1920, 1088, 1000, 96
+
+    scene = bench._build_scene(width, height, num_lights, num_objects)
+    fg = FrameGraph(
+        FrameGraphAsset.load(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "content/DefaultRenderer.renderer")
+        ),
+        width, height,
+        config={
+            "z_far": 150.0, "shadow_resolution": 1024, "env_resolution": 32,
+            "bin_capacity": 1024, "bin_rounds": 2, "max_lights_per_tile": 128,
+            "pallas_shading": True,
+        },
+    )
+    state = fg.initial_state()
+    fg.prepare(scene, state)
+
+    # warm up the eager path once (compiles each node's sub-jits)
+    t0 = time.time()
+    _t, _s, _ = fg.process_debug(scene, state)
+    print(f"# eager warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # timed eager per-node passes (best of N per node). Jitter the camera
+    # position per iteration: the tunnel memoizes byte-identical executions
+    # (returns ~0ms), so every node's inputs must actually change.
+    best: dict[str, float] = {}
+    for i in range(args.frames):
+        eps = 1e-5 * (i + 1)
+        scene_i = scene.replace(
+            frame=scene.frame.replace(
+                camera_position=scene.frame.camera_position + eps,
+                delta_time=scene.frame.delta_time + eps,
+            )
+        )
+        _t, _s, timings = fg.process_debug(scene_i, state)
+        for k, v in timings.items():
+            best[k] = min(best.get(k, 1e9), v)
+    total = sum(best.values())
+    print(f"\n== per-node (eager, best of {args.frames}) @ {width}x{height} ==")
+    for k, v in sorted(best.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:<18} {v:8.2f} ms  {100*v/total:5.1f}%")
+    print(f"  {'TOTAL':<18} {total:8.2f} ms")
+
+    # jitted whole-graph
+    t0 = time.time()
+    targets, state2 = fg.process(scene, state)
+    jax.block_until_ready(targets["Final"])
+    print(f"# jit compile+frame: {time.time()-t0:.1f}s", file=sys.stderr)
+    times = []
+    for i in range(args.frames):
+        # vary delta_time to defeat the tunnel's execution memoization
+        scene_i = scene.replace(
+            frame=scene.frame.replace(
+                delta_time=scene.frame.delta_time + 1e-6 * (i + 1))
+        )
+        t0 = time.time()
+        targets, state2 = fg.process(scene_i, state)
+        jax.block_until_ready(targets["Final"])
+        times.append(time.time() - t0)
+    print(f"== jitted graph: best {min(times)*1e3:.1f} ms "
+          f"({1.0/min(times):.2f} FPS), times {[round(t*1e3,1) for t in times]}")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            targets, _ = fg.process(scene, state)
+            jax.block_until_ready(targets["Final"])
+        print(f"# trace written to {args.trace}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
