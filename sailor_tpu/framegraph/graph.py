@@ -212,6 +212,46 @@ class FrameGraph:
         new_state.update(targets.pop("state_out", {}))
         return targets, new_state, timings
 
+    def process_pernode(self, scene, state: dict, repeats: int = 3):
+        """Per-node DEVICE timing: each node jitted separately, fed the
+        materialized outputs of the previous one. Sum-of-nodes approximates
+        the fused frame (upper bound: node boundaries force HBM
+        materialization). Inputs are jittered per repeat so memoizing
+        runtimes cannot fake 0ms. Returns (targets, new_state, timings_ms)."""
+        targets = self.targets.allocate()
+        timings = {}
+        for i, n in enumerate(self.nodes):
+            ctx_cfg = dict(
+                width=self.width, height=self.height,
+                values=self.asset.values, config=self.config,
+            )
+
+            def run_node(scene, state, targets, _n=n, _cfg=ctx_cfg):
+                ctx = RenderContext(scene=scene, state=state, **_cfg)
+                return _n.process(ctx, dict(targets))
+
+            fn = jax.jit(run_node)
+            out = fn(scene, state, targets)
+            jax.block_until_ready(out)
+            best = 1e9
+            for r in range(repeats):
+                eps = 1e-6 * (r + 1)
+                scene_r = scene.replace(
+                    frame=scene.frame.replace(
+                        camera_position=scene.frame.camera_position + eps
+                    )
+                )
+                t0 = time.perf_counter()
+                out_r = fn(scene_r, state, targets)
+                jax.block_until_ready(out_r)
+                best = min(best, (time.perf_counter() - t0) * 1e3)
+            label = n.node_name + (f"/{n.p('shader')}" if n.p("shader") else "")
+            timings[f"{i:02d}_{label}"] = best
+            targets = out
+        new_state = dict(state)
+        new_state.update(targets.pop("state_out", {}))
+        return targets, new_state, timings
+
     def initial_state(self) -> dict:
         import jax.numpy as jnp
 

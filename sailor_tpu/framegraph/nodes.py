@@ -180,8 +180,15 @@ class SkyNode(BaseNode):
 
     def process(self, ctx, targets):
         w, h = ctx.width, ctx.height
+        # The reference renders the sky at HALF resolution (SkyNode.cpp
+        # creates half-size targets); match it: atmosphere/clouds are
+        # low-frequency, and the gather-free pow2 upsample is ~free.
+        q = max(1, int(ctx.config.get("sky_downsample", 2)))
+        hq, wq = -(-h // q), -(-w // q)
         inv_vp = jnp.linalg.inv(ctx.scene.frame.view_projection)
-        d = interpolate.pixel_rays(
+        d = interpolate.pixel_rays_strided(
+            inv_vp, ctx.scene.frame.camera_position, h, w, q
+        ) if q > 1 else interpolate.pixel_rays(
             inv_vp, ctx.scene.frame.camera_position, h, w
         )
         use_stars = ctx.scene.star_dirs.shape[0] > 0
@@ -192,6 +199,8 @@ class SkyNode(BaseNode):
             with_clouds=bool(ctx.config.get("sky_clouds", True)),
             with_stars=use_stars,
         )
+        if q > 1:
+            color = sampling.upsample_bilinear_pow2(color, (h, w))
         targets["Sky"] = color
         return targets
 
@@ -309,9 +318,9 @@ class RenderSceneNode(BaseNode):
                 z_far=float(ctx.config.get("z_far", 100.0)),
                 use_evsm=True,
             )
-            shadow = sampling.blit(
-                shadow_q[..., None], (ctx.height, ctx.width)
-            )[..., 0]
+            shadow = sampling.upsample_bilinear_pow2(
+                shadow_q, (ctx.height, ctx.width)
+            )
 
         # IBL ambient if the environment bake is present. Computed at
         # quarter resolution and bilinearly upsampled: the ambient term is
@@ -332,7 +341,7 @@ class RenderSceneNode(BaseNode):
                 gbuffer.normal[::q, ::q], view_dir[::q, ::q],
                 state["env/irradiance"], mips, state["env/brdf_lut"],
             )
-            ibl_ambient = sampling.blit(
+            ibl_ambient = sampling.upsample_bilinear_pow2(
                 amb_q, (ctx.height, ctx.width)
             ) * gbuffer.coverage[..., None]
 

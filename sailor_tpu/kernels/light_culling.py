@@ -125,43 +125,25 @@ def cull_lights(
     hit = (in_sides & in_depth) | is_dir[None, None, :]
     hit = hit & lights.valid_mask[None, None, :]
 
-    # Compact the first K hit lights per tile WITHOUT sorting: running count
-    # via cumsum + fixed-step binary search per slot (same compaction as
-    # triangle binning). jax.lax.top_k lowers to ~k serial passes on TPU and
-    # measured ~30x slower at k=128. Order is by light index — the
-    # reference's impact sort only matters when a tile overflows its K; sort
-    # lights by importance host-side if that case matters.
+    # Compact + impact-sort in ONE jnp.sort over (Tiles, L):
+    # every light gets a global camera-distance rank (directional lights
+    # rank first, matching LightingECS.cpp:209-260's distance sort), each
+    # tile sorts {rank if hit else BIG}, and the first K slots are the K
+    # nearest hit lights — so when a tile overflows its budget, the
+    # farthest lights drop, never the nearest. Replaces the previous
+    # chunked per-slot binary search (~80 small gather ops, the node's
+    # dominant cost) with a single fused sort; also beats lax.top_k, which
+    # lowers to ~k serial passes at k=128 (measured ~30x slower).
     k = min(max_per_tile, lights.capacity)
     ntiles = tiles_y * tiles_x
-    hitf = hit.reshape(ntiles, -1)
-    csum = jnp.cumsum(hitf.astype(jnp.int32), axis=-1)  # (Tiles, L)
-    counts = csum[:, -1]
-    L = csum.shape[1]
-    steps = max(1, (L - 1).bit_length())
-    # Binary search in tile CHUNKS so the probed table stays a few MB
-    # (random gathers from tables beyond VMEM-stageable sizes are HBM
-    # latency-bound at ~20ns/element — measured 10x slower).
-    chunk = max(1, min(ntiles, (4 << 20) // max(4 * L, 1)))
-    n_chunks = -(-ntiles // chunk)
-    pad_tiles = n_chunks * chunk - ntiles
-    csum_p = jnp.pad(csum, ((0, pad_tiles), (0, 0)))
-    target = (jnp.arange(k, dtype=jnp.int32) + 1)[None, :]
-    outs = []
-    for c in range(n_chunks):
-        sub = csum_p[c * chunk : (c + 1) * chunk]
-        sub_flat = sub.reshape(-1)
-        row_base = (jnp.arange(chunk, dtype=jnp.int32) * L)[:, None]
-        lo = jnp.zeros((chunk, k), jnp.int32)
-        hi = jnp.full((chunk, k), L - 1, jnp.int32)
-        for _ in range(steps):
-            mid = (lo + hi) >> 1
-            ge = sub_flat[row_base + mid] >= target
-            hi = jnp.where(ge, mid, hi)
-            lo = jnp.where(ge, lo, jnp.minimum(mid + 1, L - 1))
-        outs.append(hi)
-    hi = jnp.concatenate(outs)[:ntiles]
-    in_range = jnp.arange(k)[None, :] < counts[:, None]
-    indices = jnp.where(in_range, hi, -1)
+    L = hit.shape[-1]
+    dist = jnp.linalg.norm(pos_vs, axis=-1)
+    order = jnp.argsort(jnp.where(is_dir, -1.0, dist))   # (L,) rank -> light
+    rank = jnp.argsort(order).astype(jnp.int32)          # (L,) light -> rank
+    keys = jnp.where(hit.reshape(ntiles, L), rank[None, :], jnp.int32(L))
+    skeys = jax.lax.sort(keys, dimension=-1)[:, :k]      # (Tiles, K) ranks
+    counts = jnp.sum(hit.reshape(ntiles, L), axis=-1, dtype=jnp.int32)
+    indices = jnp.where(skeys < L, order.astype(jnp.int32)[skeys], -1)
     if k < max_per_tile:
         indices = jnp.pad(
             indices, ((0, 0), (0, max_per_tile - k)), constant_values=-1

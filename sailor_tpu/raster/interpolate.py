@@ -35,6 +35,59 @@ def pixel_rays(inv_view_projection, camera_position, height: int, width: int):
     return p - camera_position
 
 
+def pack_triangle_attributes(geometry, src_id):
+    """Per-RASTER-triangle packed attribute table (R, 37).
+
+    Column layout: v0(3) e1(3) e2(3) n0(3) dn1(3) dn2(3) uv0(2) duv1(2)
+    duv2(2) c0(4) dc1(4) dc2(4) mat_id(1). Deltas make per-pixel interp a
+    2-FMA: a(u,v) = a0 + u*da1 + v*da2.
+
+    Packing costs a handful of gathers over R ~ 1e5 rows (trivial); the
+    per-PIXEL resolve then needs exactly ONE (H*W)-row gather instead of
+    ~14 — on TPU each 2M-row gather is latency-bound at ~14 ms regardless
+    of row width (measured), so gather COUNT is the cost model.
+    """
+    vidx = geometry.indices[src_id]                 # (R, 3)
+    p0 = geometry.position[vidx[:, 0]]
+    p1 = geometry.position[vidx[:, 1]]
+    p2 = geometry.position[vidx[:, 2]]
+    n0 = geometry.normal[vidx[:, 0]]
+    n1 = geometry.normal[vidx[:, 1]]
+    n2 = geometry.normal[vidx[:, 2]]
+    t0 = geometry.uv[vidx[:, 0]]
+    t1 = geometry.uv[vidx[:, 1]]
+    t2 = geometry.uv[vidx[:, 2]]
+    c0 = geometry.color[vidx[:, 0]]
+    c1 = geometry.color[vidx[:, 1]]
+    c2 = geometry.color[vidx[:, 2]]
+    mat = geometry.material_id[src_id].astype(jnp.float32)[:, None]
+    return jnp.concatenate(
+        [p0, p1 - p0, p2 - p0,
+         n0, n1 - n0, n2 - n0,
+         t0, t1 - t0, t2 - t0,
+         c0, c1 - c0, c2 - c0,
+         mat],
+        axis=1,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def pixel_rays_strided(inv_view_projection, camera_position, height: int,
+                       width: int, stride: int):
+    """Rays for every `stride`-th pixel (matches ``x[::stride]`` sampling
+    of a full-res grid: positions 0.5, stride+0.5, ... in pixel units)."""
+    hq, wq = -(-height // stride), -(-width // stride)
+    ys = (jnp.arange(hq, dtype=jnp.float32) * stride + 0.5) / height
+    xs = (jnp.arange(wq, dtype=jnp.float32) * stride + 0.5) / width
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")
+    ndc = jnp.stack(
+        [u * 2.0 - 1.0, 1.0 - v * 2.0, jnp.full_like(u, 0.5), jnp.ones_like(u)],
+        axis=-1,
+    )
+    p = m3.homogenize(jnp.einsum("ij,hwj->hwi", inv_view_projection, ndc))
+    return p - camera_position
+
+
 @jax.jit
 def resolve_gbuffer(
     geometry,
@@ -44,21 +97,19 @@ def resolve_gbuffer(
     camera_position,
     materials=None,
 ):
-    """Build a GBuffer from the visibility buffer."""
+    """Build a GBuffer from the visibility buffer (one gather per pixel)."""
     H, W = tri_id.shape
     valid = tri_id >= 0
     rid = jnp.maximum(tri_id, 0)
-    sid = tri_setup.src_id[rid]          # (H, W) source triangle
-    vidx = geometry.indices[sid]         # (H, W, 3)
 
-    v0 = geometry.position[vidx[..., 0]]  # (H, W, 3)
-    v1 = geometry.position[vidx[..., 1]]
-    v2 = geometry.position[vidx[..., 2]]
+    packed = pack_triangle_attributes(geometry, tri_setup.src_id)
+    px = packed[rid]                     # (H, W, 37) — THE per-pixel gather
+    v0 = px[..., 0:3]
+    e1 = px[..., 3:6]
+    e2 = px[..., 6:9]
 
     # Möller–Trumbore barycentrics along the pixel ray.
     d = pixel_rays(inv_view_projection, camera_position, H, W)
-    e1 = v1 - v0
-    e2 = v2 - v0
     pvec = jnp.cross(d, e2)
     det = m3.dot(e1, pvec, keepdims=True)
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
@@ -70,17 +121,12 @@ def resolve_gbuffer(
     # at edges (matches hardware attribute clamping behavior closely enough).
     u = jnp.clip(u, 0.0, 1.0)
     v = jnp.clip(v, 0.0, 1.0 - u)
-    wgt = jnp.concatenate([1.0 - u - v, u, v], axis=-1)  # (H, W, 3)
 
-    def interp(attr):
-        vals = attr[vidx]                # (H, W, 3, C)
-        return jnp.sum(vals * wgt[..., None], axis=-2)
-
-    wpos = interp(geometry.position)
-    normal = m3.normalize(interp(geometry.normal))
-    uv = interp(geometry.uv)
-    color = interp(geometry.color)
-    mat_id = geometry.material_id[sid]   # (H, W)
+    wpos = v0 + e1 * u + e2 * v
+    normal = m3.normalize(px[..., 9:12] + px[..., 12:15] * u + px[..., 15:18] * v)
+    uv = px[..., 18:20] + px[..., 20:22] * u + px[..., 22:24] * v
+    color = px[..., 24:28] + px[..., 28:32] * u + px[..., 32:36] * v
+    mat_id = px[..., 36].astype(jnp.int32)
 
     if materials is not None:
         albedo, metallic, roughness, emissive = materials.sample(mat_id, uv)
@@ -88,11 +134,10 @@ def resolve_gbuffer(
         # Tangent-space normal mapping (Standard.shader tangentBasis):
         # the tangent frame derives per face from the triangle's positions
         # and UVs — no stored tangents needed with a visibility buffer,
-        # since all three vertices are already gathered here.
+        # since the packed row already carries all three vertices.
         n_ts, has_map = materials.sample_normal(mat_id, uv)
-        uv0 = geometry.uv[vidx[..., 0]]
-        duv1 = geometry.uv[vidx[..., 1]] - uv0
-        duv2 = geometry.uv[vidx[..., 2]] - uv0
+        duv1 = px[..., 20:22]
+        duv2 = px[..., 22:24]
         denom = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
         inv = jnp.where(jnp.abs(denom) > 1e-12, 1.0 / denom, 0.0)[..., None]
         t_raw = (e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2]) * inv

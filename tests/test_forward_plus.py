@@ -223,3 +223,37 @@ def test_pallas_shading_matches_jnp():
         ibl_ambient=jnp.zeros((h, w, 3)),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_cull_overflow_keeps_nearest_lights():
+    """When a tile sees more lights than its budget, the NEAREST (by camera
+    distance) must be kept — parity with the reference's impact sort
+    (LightingECS.cpp:209-260)."""
+    w, h = 2 * TILE, TILE
+    view, proj = _camera(w, h)
+    # 12 point lights stacked in front of the camera at increasing distance,
+    # all covering the whole view; budget of 4 per tile.
+    n = 12
+    pos = np.stack([np.zeros(n), np.zeros(n), -np.arange(1.0, n + 1.0)], -1)
+    lights = Lights.from_host(
+        types=[POINT] * n,
+        positions=pos,
+        directions=[[0, -1, 0]] * n,
+        intensities=[[1, 1, 1]] * n,
+        attenuations=[[1, 0, 0]] * n,
+        radii=[100.0] * n,
+    )
+    lin = jnp.full((h, w), 5.0)
+    idx, counts = light_culling.cull_lights(
+        lights, view, jnp.linalg.inv(proj), lin,
+        tiles_y=1, tiles_x=2, viewport=(w, h), max_per_tile=4,
+    )
+    idx = np.asarray(idx)
+    # camera at (0,2,5): nearest lights are those with the smallest camera
+    # distance = lights 0..3 (z=-1..-4 are closest to the camera)
+    cam = np.asarray([0.0, 2.0, 5.0])
+    dist = np.linalg.norm(pos - cam, axis=-1)
+    want = set(np.argsort(dist)[:4].tolist())
+    for t in range(2):
+        got = set(idx[0, t][idx[0, t] >= 0].tolist())
+        assert got == want, (got, want)

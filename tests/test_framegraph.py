@@ -99,7 +99,8 @@ frame:
     fg.prepare(scene, state)
     targets, state, timings = fg.process_debug(scene, state)
     assert "Final" in targets
-    assert set(timings) >= {"DepthPrepass", "RenderScene", "EyeAdaptation"}
+    for want in ("DepthPrepass", "RenderScene", "EyeAdaptation"):
+        assert any(k.endswith(want) for k in timings), (want, timings)
     assert np.isfinite(np.asarray(targets["Final"])).all()
 
 

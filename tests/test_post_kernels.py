@@ -166,3 +166,32 @@ def test_tonemap_luminance_mode_preserves_chroma():
     np.testing.assert_allclose(
         np.asarray(yxy_out[..., 1:]), np.asarray(yxy_in[..., 1:]), atol=5e-3
     )
+
+
+# --- gather-free pow2 upsampler ---------------------------------------------
+
+
+def test_upsample_pow2_matches_blit_exact_factor():
+    for c in (None, 3):
+        src = _rand_img(8, 12, c=c or 1, seed=3)
+        if c is None:
+            src = src[..., 0]
+        up = np.asarray(sampling.upsample_bilinear_pow2(src, (16, 24)))
+        ref = np.asarray(sampling.blit(src, (16, 24)))
+        assert up.shape == ref.shape
+        np.testing.assert_allclose(up, ref, atol=1e-5)
+
+
+def test_upsample_pow2_4x_and_crop():
+    src = _rand_img(7, 9, c=3, seed=4)
+    # ceil-division subsample of a 26x34 frame at stride 4 gives 7x9
+    up = np.asarray(sampling.upsample_bilinear_pow2(src, (26, 34)))
+    assert up.shape == (26, 34, 3)
+    ref = np.asarray(sampling.blit(src, (28, 36)))[:26, :34]
+    np.testing.assert_allclose(up, ref, atol=1e-5)
+
+
+def test_upsample_pow2_constant_preserved():
+    src = jnp.full((5, 6), 2.5)
+    up = np.asarray(sampling.upsample_bilinear_pow2(src, (10, 12)))
+    np.testing.assert_allclose(up, 2.5, atol=1e-6)

@@ -24,6 +24,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--trace", default=None, help="jax trace output dir")
+    ap.add_argument("--eager", action="store_true", help="per-node eager timings")
+    ap.add_argument("--pernode", action="store_true",
+                    help="per-node jitted device timings")
+    ap.add_argument("--nojit", action="store_true",
+                    help="skip the whole-graph jitted timing")
     ap.add_argument("--frames", type=int, default=3)
     args = ap.parse_args()
 
@@ -53,56 +58,65 @@ def main():
     state = fg.initial_state()
     fg.prepare(scene, state)
 
-    # warm up the eager path once (compiles each node's sub-jits)
-    t0 = time.time()
-    _t, _s, _ = fg.process_debug(scene, state)
-    print(f"# eager warmup: {time.time()-t0:.1f}s", file=sys.stderr)
-
-    # timed eager per-node passes (best of N per node). Jitter the camera
-    # position per iteration: the tunnel memoizes byte-identical executions
-    # (returns ~0ms), so every node's inputs must actually change.
-    best: dict[str, float] = {}
-    for i in range(args.frames):
-        eps = 1e-5 * (i + 1)
-        scene_i = scene.replace(
-            frame=scene.frame.replace(
-                camera_position=scene.frame.camera_position + eps,
-                delta_time=scene.frame.delta_time + eps,
-            )
-        )
-        _t, _s, timings = fg.process_debug(scene_i, state)
-        for k, v in timings.items():
-            best[k] = min(best.get(k, 1e9), v)
-    total = sum(best.values())
-    print(f"\n== per-node (eager, best of {args.frames}) @ {width}x{height} ==")
-    for k, v in sorted(best.items(), key=lambda kv: -kv[1]):
-        print(f"  {k:<18} {v:8.2f} ms  {100*v/total:5.1f}%")
-    print(f"  {'TOTAL':<18} {total:8.2f} ms")
-
-    # jitted whole-graph
-    t0 = time.time()
-    targets, state2 = fg.process(scene, state)
-    jax.block_until_ready(targets["Final"])
-    print(f"# jit compile+frame: {time.time()-t0:.1f}s", file=sys.stderr)
-    times = []
-    for i in range(args.frames):
-        # vary delta_time to defeat the tunnel's execution memoization
-        scene_i = scene.replace(
-            frame=scene.frame.replace(
-                delta_time=scene.frame.delta_time + 1e-6 * (i + 1))
-        )
+    # jitted whole-graph FIRST (the trace is the ground truth; eager
+    # per-node over the tunnel is dispatch-latency-dominated and optional)
+    if not args.nojit:
         t0 = time.time()
-        targets, state2 = fg.process(scene_i, state)
+        targets, state2 = fg.process(scene, state)
         jax.block_until_ready(targets["Final"])
-        times.append(time.time() - t0)
-    print(f"== jitted graph: best {min(times)*1e3:.1f} ms "
-          f"({1.0/min(times):.2f} FPS), times {[round(t*1e3,1) for t in times]}")
+        print(f"# jit compile+frame: {time.time()-t0:.1f}s", file=sys.stderr)
+        times = []
+        for i in range(args.frames):
+            # vary delta_time to defeat the tunnel's execution memoization
+            scene_i = scene.replace(
+                frame=scene.frame.replace(
+                    delta_time=scene.frame.delta_time + 1e-6 * (i + 1))
+            )
+            t0 = time.time()
+            targets, state2 = fg.process(scene_i, state)
+            jax.block_until_ready(targets["Final"])
+            times.append(time.time() - t0)
+        print(f"== jitted graph: best {min(times)*1e3:.1f} ms "
+              f"({1.0/min(times):.2f} FPS), times "
+              f"{[round(t*1e3,1) for t in times]}")
 
     if args.trace:
+        scene_t = scene.replace(
+            frame=scene.frame.replace(delta_time=scene.frame.delta_time + 1e-4)
+        )
         with jax.profiler.trace(args.trace):
-            targets, _ = fg.process(scene, state)
+            targets, _ = fg.process(scene_t, state)
             jax.block_until_ready(targets["Final"])
         print(f"# trace written to {args.trace}", file=sys.stderr)
+
+    if args.pernode:
+        _t, _s, timings = fg.process_pernode(scene, state, repeats=args.frames)
+        total = sum(timings.values())
+        print(f"\n== per-node (jitted separately, best of {args.frames}) ==")
+        for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+            print(f"  {k:<24} {v:8.2f} ms  {100*v/total:5.1f}%")
+        print(f"  {'TOTAL':<24} {total:8.2f} ms")
+
+    if args.eager:
+        # timed eager per-node passes (best of N). Jitter the camera per
+        # iteration: the tunnel memoizes byte-identical executions (~0ms).
+        best: dict[str, float] = {}
+        for i in range(args.frames):
+            eps = 1e-5 * (i + 1)
+            scene_i = scene.replace(
+                frame=scene.frame.replace(
+                    camera_position=scene.frame.camera_position + eps,
+                    delta_time=scene.frame.delta_time + eps,
+                )
+            )
+            _t, _s, timings = fg.process_debug(scene_i, state)
+            for k, v in timings.items():
+                best[k] = min(best.get(k, 1e9), v)
+        total = sum(best.values())
+        print(f"\n== per-node (eager, best of {args.frames}) ==")
+        for k, v in sorted(best.items(), key=lambda kv: -kv[1]):
+            print(f"  {k:<24} {v:8.2f} ms  {100*v/total:5.1f}%")
+        print(f"  {'TOTAL':<24} {total:8.2f} ms")
 
 
 if __name__ == "__main__":
