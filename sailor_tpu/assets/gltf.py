@@ -166,7 +166,11 @@ class GLTF:
             "emissive": np.zeros((n, 3), np.float32),
             "albedo_texture": np.full(n, -1, np.int32),
             "normal_texture": np.full(n, -1, np.int32),
+            "queue": np.zeros(n, np.int32),
+            "alpha_cutoff": np.full(n, 0.5, np.float32),
+            "opacity": np.ones(n, np.float32),
         }
+        alpha_modes = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}
         for i, m in enumerate(mats):
             pbr = m.get("pbrMetallicRoughness", {})
             base = pbr.get("baseColorFactor", [1, 1, 1, 1])
@@ -174,6 +178,10 @@ class GLTF:
             table["metallic"][i] = pbr.get("metallicFactor", 1.0)
             table["roughness"][i] = pbr.get("roughnessFactor", 1.0)
             table["emissive"][i] = m.get("emissiveFactor", [0, 0, 0])
+            table["queue"][i] = alpha_modes.get(m.get("alphaMode", "OPAQUE"), 0)
+            table["alpha_cutoff"][i] = m.get("alphaCutoff", 0.5)
+            if table["queue"][i] == 2 and len(base) > 3:
+                table["opacity"][i] = base[3]
             if "baseColorTexture" in pbr:
                 table["albedo_texture"][i] = self._image_of(
                     pbr["baseColorTexture"]["index"]

@@ -18,6 +18,13 @@ import yaml
 from flax import struct
 
 
+QUEUE_OPAQUE = 0
+QUEUE_MASKED = 1
+QUEUE_TRANSPARENT = 2
+
+_QUEUE_NAMES = {"Opaque": 0, "Masked": 1, "Transparent": 2}
+
+
 @struct.dataclass
 class MaterialTable:
     albedo: jnp.ndarray          # (M, 3)
@@ -27,6 +34,15 @@ class MaterialTable:
     albedo_texture: jnp.ndarray  # (M,) int32 layer or -1
     normal_texture: jnp.ndarray  # (M,) int32 layer or -1 (tangent-space map)
     textures: jnp.ndarray        # (N, S, S, 4) stacked linear RGBA
+    # Render state (Types.h:524-580 RenderState / .mat renderQueue):
+    queue: jnp.ndarray           # (M,) int32 0=Opaque 1=Masked 2=Transparent
+    alpha_cutoff: jnp.ndarray    # (M,) float alpha-test threshold (Masked)
+    opacity: jnp.ndarray         # (M,) float base opacity (Transparent)
+    # Static (host) summary so the graph can skip whole passes at trace
+    # time — the analog of the reference's tag-filtered proxy lists
+    # (RenderSceneNode.cpp:34-104 returning early on empty batches).
+    has_masked: bool = struct.field(pytree_node=False, default=False)
+    has_transparent: bool = struct.field(pytree_node=False, default=False)
 
     def sample_normal(self, mat_id, uv):
         """Tangent-space normal from the material's normal map; returns
@@ -63,18 +79,31 @@ class MaterialTable:
     def from_host(cls, table: dict, images: list | None = None,
                   texture_size: int = 256) -> "MaterialTable":
         textures = stack_textures(images or [], texture_size)
+        m = len(table["albedo"])
+        queues = table.get("queue", np.zeros(m, np.int32))
+        queues = np.asarray(
+            [_QUEUE_NAMES.get(q, q) if isinstance(q, str) else q for q in queues],
+            np.int32,
+        )
         return cls(
             albedo=jnp.asarray(table["albedo"]),
             metallic=jnp.asarray(table["metallic"]),
             roughness=jnp.asarray(table["roughness"]),
             emissive=jnp.asarray(table["emissive"]),
             albedo_texture=jnp.asarray(
-                table.get("albedo_texture", np.full(len(table["albedo"]), -1, np.int32))
+                table.get("albedo_texture", np.full(m, -1, np.int32))
             ),
             normal_texture=jnp.asarray(
-                table.get("normal_texture", np.full(len(table["albedo"]), -1, np.int32))
+                table.get("normal_texture", np.full(m, -1, np.int32))
             ),
             textures=textures,
+            queue=jnp.asarray(queues),
+            alpha_cutoff=jnp.asarray(
+                table.get("alpha_cutoff", np.full(m, 0.5, np.float32))
+            ),
+            opacity=jnp.asarray(table.get("opacity", np.ones(m, np.float32))),
+            has_masked=bool((queues == QUEUE_MASKED).any()),
+            has_transparent=bool((queues == QUEUE_TRANSPARENT).any()),
         )
 
 
@@ -169,4 +198,13 @@ class MaterialAsset:
             "metallic": float(self.uniforms.get("material.metallic", [0.0])[0]),
             "roughness": float(self.uniforms.get("material.roughness", [0.6])[0]),
             "emissive": self.uniforms.get("material.emission", [0, 0, 0, 0])[:3],
+            "queue": _QUEUE_NAMES.get(self.render_queue, 0),
+            "alpha_cutoff": float(
+                self.uniforms.get("material.alphaCutoff", [0.5])[0]
+            ),
+            "opacity": (
+                float(albedo[3]) if len(albedo) > 3 and
+                _QUEUE_NAMES.get(self.render_queue, 0) == QUEUE_TRANSPARENT
+                else 1.0
+            ),
         }

@@ -100,16 +100,30 @@ class EngineLoop:
 
     CPU_FPS_CAP = 120.0  # reference sleeps below ~1000/130 ms
 
-    def __init__(self, world: World, renderer: Renderer, sky=None, stars=None):
+    def __init__(self, world: World, renderer: Renderer, sky=None, stars=None,
+                 overlay=None):
         self.world = world
         self.renderer = renderer
         self.sky = sky
         self.stars = stars
+        self.overlay = overlay  # OverlayContext (ImGuiApi analog) or None
         self._prev_frame = None
         self.frame_index = 0
 
     def process_cpu_frame(self, dt: float):
-        """World tick -> scene snapshot -> renderer push (one frame)."""
+        """World tick -> scene snapshot -> renderer push (one frame).
+
+        Mirrors EngineLoop::ProcessCpuFrame: ImGui NewFrame (overlay HUD
+        build) -> world ticks -> render dispatch."""
+        if self.overlay is not None:
+            import jax.numpy as jnp
+
+            from sailor_tpu.engine.overlay import stats_hud
+
+            stats_hud(self.overlay, self.renderer.stats)
+            self.renderer.state["overlay/canvas"] = jnp.asarray(
+                self.overlay.canvas()
+            )
         self.world.tick(dt)
         scene = self.world.scene_view(
             sky=self.sky, stars=self.stars, prev_frame=self._prev_frame

@@ -83,7 +83,17 @@ class BaseNode:
 
 @dataclasses.dataclass
 class RenderContext:
-    """Static + per-frame context handed to nodes."""
+    """Static + per-frame context handed to nodes.
+
+    Multi-chip: when the graph runs inside a shard_map over screen rows,
+    ``width``/``height`` are the LOCAL slice dims, ``full_height`` the
+    global viewport, ``row0`` the (traced) global row of local row 0 and
+    ``mesh_axis`` the shard_map axis name — nodes that need global pixel
+    coordinates (ray generation, tile frustums, AO windows) or cross-slice
+    data (histogram, bloom, motion-blur taps) read these. Single-chip:
+    row0 = 0, full == local, mesh_axis None (all node code degenerates to
+    the plain path).
+    """
 
     width: int
     height: int
@@ -91,9 +101,31 @@ class RenderContext:
     state: dict | None = None  # temporal state dict (avg_lum, env maps...) — traced
     values: dict | None = None  # named floats from YAML
     config: dict | None = None  # misc static config
+    full_height: int | None = None
+    row0: Any = 0              # traced scalar under shard_map
+    mesh_axis: str | None = None
+    mesh_size: int = 1
 
     def value(self, key: str, default: float = 0.0) -> float:
         return (self.values or {}).get(key, default)
+
+    @property
+    def fh(self) -> int:
+        return self.full_height if self.full_height is not None else self.height
+
+    @property
+    def sharded(self) -> bool:
+        return self.mesh_axis is not None
+
+    def upsample(self, src, dst_hw):
+        """Pow2 bilinear upsample, slice-boundary-exact when sharded."""
+        from sailor_tpu.kernels import sampling as _s
+
+        if self.sharded:
+            return _s.upsample_bilinear_pow2_sharded(
+                src, dst_hw, self.mesh_axis, self.mesh_size
+            )
+        return _s.upsample_bilinear_pow2(src, dst_hw)
 
 
 @dataclasses.dataclass
@@ -156,6 +188,7 @@ class FrameGraph:
             params = {k: v for k, v in entry.items() if k != "name"}
             self.nodes.append(_NODE_REGISTRY[name](params))
         self._jitted: Callable | None = None
+        self._jitted_sharded: dict = {}
 
     # -- execution ---------------------------------------------------------
 
@@ -190,6 +223,69 @@ class FrameGraph:
         if self._jitted is None:
             self._jitted = jax.jit(self._run)
         return self._jitted(scene, state)
+
+    # -- multi-chip execution ------------------------------------------------
+
+    def process_sharded(self, scene, state: dict, mesh, axis: str = "screen"):
+        """Run the FULL node pipeline screen-row-sharded over a device mesh.
+
+        Each chip executes every node on its row slice (local viewport via
+        RenderContext.row0/full_height); cross-slice data moves through
+        collectives inside the nodes (histogram psum, bloom / motion-blur
+        all_gather, halo ppermutes for blur/AO/upsamples). Returns
+        ({"Final", "Main"} gathered full-frame, new_state) — bit-matching
+        the single-device graph (tests/test_parallel_graph.py).
+        """
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n = mesh.shape[axis]
+        if self.height % (n * 32) != 0:
+            raise ValueError(
+                f"height {self.height} must split into 32-px tile rows "
+                f"across {n} shards"
+            )
+        h_local = self.height // n
+        key = (n, axis)
+        if self._jitted_sharded.get(key) is None:
+            local_targets = RenderTargets(self.width, h_local)
+            for spec in self.asset.targets:
+                local_targets.declare(spec)
+
+            def shard_body(scene, state):
+                idx = jax.lax.axis_index(axis)
+                row0 = idx * h_local
+                ctx = RenderContext(
+                    width=self.width, height=h_local, scene=scene,
+                    state=state, values=self.asset.values, config=self.config,
+                    full_height=self.height, row0=row0,
+                    mesh_axis=axis, mesh_size=n,
+                )
+                targets = local_targets.allocate()
+                for i, nd in enumerate(self.nodes):
+                    with jax.named_scope(f"{i:02d}_{nd.node_name}"):
+                        targets = nd.process(ctx, targets)
+                out = {
+                    "Final": jax.lax.all_gather(
+                        targets["Final"], axis, axis=0, tiled=True
+                    ),
+                    "Main": jax.lax.all_gather(
+                        targets["Main"], axis, axis=0, tiled=True
+                    ),
+                }
+                new_state = dict(state)
+                st = targets.get("state_out", {})
+                if "avg_luminance" in st:
+                    new_state["avg_luminance"] = st["avg_luminance"]
+                return out, new_state
+
+            fn = shard_map(
+                shard_body, mesh=mesh, in_specs=(P(), P()),
+                out_specs=(P(), P()), check_vma=False,
+            )
+            self._jitted_sharded[key] = jax.jit(fn)
+        return self._jitted_sharded[key](scene, state)
 
     def process_debug(self, scene, state: dict):
         """Eager per-node execution with wall-clock timings — the analog of
@@ -255,4 +351,22 @@ class FrameGraph:
     def initial_state(self) -> dict:
         import jax.numpy as jnp
 
-        return {"avg_luminance": jnp.asarray(0.18, jnp.float32)}
+        state = {"avg_luminance": jnp.asarray(0.18, jnp.float32)}
+        if self.config.get("hiz_culling", False):
+            # seed the HiZ culling pyramid with zeros (reverse-Z 0 = "no
+            # occluder", culls nothing) so the jit signature is stable
+            # between frame 1 and frame 2 — the shapes MUST match what
+            # DepthHighZNode publishes (build_min_pyramid of the Depth
+            # target, culling levels = mips[2:5]).
+            from sailor_tpu.kernels import sampling as _s
+
+            levels = 5
+            for n in self.nodes:
+                if n.node_name == "DepthHighZ":
+                    levels = int(n.p("levels", 5))
+            mips = _s.build_min_pyramid(
+                jnp.zeros((self.height, self.width), jnp.float32), levels
+            )
+            for i, m in enumerate(mips[2:5]):
+                state[f"hiz/mip{i}"] = m
+        return state

@@ -45,18 +45,49 @@ class ClearNode(BaseNode):
         return targets
 
 
+def _raster_merge(tri, passes, tiles_y, tiles_x, z_bounds=None):
+    """Rasterize all bin passes and keep the nearest (max reverse-Z) winner."""
+    depth = tid = None
+    for bins, counts in passes:
+        d_r, t_r = tile_raster.rasterize_tiles(
+            tri, bins, tiles_y=tiles_y, tiles_x=tiles_x, counts=counts,
+            z_bounds=z_bounds,
+        )
+        if depth is None:
+            depth, tid = d_r, t_r
+        else:
+            take = d_r > depth
+            depth = jnp.where(take, d_r, depth)
+            tid = jnp.where(take, t_r, tid)
+    return depth, tid
+
+
+def _queue_of_raster_tris(scene, tri):
+    """Per-raster-triangle render-queue class, or None when the scene has a
+    single (opaque) queue — the tag filter of RenderSceneNode.cpp:34-104."""
+    mats = scene.materials
+    if mats is None or not (mats.has_masked or mats.has_transparent):
+        return None
+    return mats.queue[scene.geometry.material_id[tri.src_id]]
+
+
 @node("DepthPrepass")
 class DepthPrepassNode(BaseNode):
     """Visibility raster: depth + triangle id (DepthPrepassNode.cpp).
 
-    The reference draws depth-only with GPU culling; here the visibility
-    buffer doubles as the depth prepass AND the input to RenderScene's
-    attribute resolve, so geometry is rasterized exactly once per frame.
+    The reference draws depth-only with GPU culling, in two tag-filtered
+    passes (Opaque then Masked, DefaultRenderer.renderer:93-372); here the
+    visibility buffer doubles as the depth prepass AND the input to
+    RenderScene's attribute resolve, so geometry is rasterized exactly once
+    per frame. Masked materials raster as alpha-tested depth-peel layers:
+    peel the nearest masked fragment, alpha-test it against the material
+    cutoff (Standard.shader discard), and keep peeling pixels that failed.
     """
 
     def process(self, ctx, targets):
-        geo = ctx.scene.geometry
-        vp = ctx.scene.frame.view_projection
+        scene = ctx.scene
+        geo = scene.geometry
+        vp = scene.frame.view_projection
         w, h = ctx.width, ctx.height
         pw = round_up(w, tile_raster.TILE_W)
         ph = round_up(h, tile_raster.TILE_H)
@@ -64,26 +95,80 @@ class DepthPrepassNode(BaseNode):
         capacity = int(ctx.config.get("bin_capacity", 512))
         rounds = int(ctx.config.get("bin_rounds", 2))
 
-        tri, aabb = rsetup.triangle_setup(geo, vp, width=w, height=h, cull="back")
+        # Project against the FULL viewport; when running as a screen-row
+        # shard, shift the setup into local rows (free: only the edge /
+        # zplane constant terms change) and keep only triangles touching
+        # the slice so boundary tile rows can't overflow with off-slice
+        # geometry.
+        tri, aabb = rsetup.triangle_setup(
+            geo, vp, width=w, height=ctx.fh, cull="back"
+        )
+        if ctx.sharded:
+            xmin, xmax, ymin, ymax = aabb
+            tri = rsetup.shift_viewport_rows(tri, ctx.row0)
+            in_slice = (ymax >= ctx.row0) & (ymin < ctx.row0 + h)
+            tri = tri.replace(valid=tri.valid & in_slice)
+            aabb = (xmin, xmax, ymin - ctx.row0, ymax - ctx.row0)
+        queue_of = _queue_of_raster_tris(scene, tri)
+        opaque_valid = tri.valid if queue_of is None else tri.valid & (queue_of == 0)
+
+        # HiZ occlusion culling against the PREVIOUS frame's min-pyramid
+        # (ComputeMeshCulling.shader analog; see raster/hiz_cull.py). The
+        # pyramid rides through temporal state; initial zeros cull nothing.
+        state = ctx.state or {}
+        if ctx.config.get("hiz_culling", False) and "hiz/mip0" in state:
+            from sailor_tpu.raster import hiz_cull
+
+            mips = [state[k] for k in sorted(state) if k.startswith("hiz/mip")]
+            flat, offsets, shapes = hiz_cull.build_flat_pyramid(mips)
+            culled_valid = hiz_cull.occlusion_cull(
+                opaque_valid, aabb, tri.zplane, flat,
+                offsets=offsets, shapes=shapes, base_w=w, base_h=h,
+            )
+            targets["HiZCulledCount"] = jnp.sum(
+                opaque_valid & ~culled_valid, dtype=jnp.int32
+            )
+            opaque_valid = culled_valid
+
         passes, _ = rsetup.bin_all(
-            tri.valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+            opaque_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
             capacity=capacity, rounds=rounds,
         )
-        depth = tid = None
-        for bins, counts in passes:
-            d_r, t_r = tile_raster.rasterize_tiles(
-                tri, bins, tiles_y=tiles_y, tiles_x=tiles_x, counts=counts
+        depth, tid = _raster_merge(tri, passes, tiles_y, tiles_x)
+        depth, tid = depth[:h, :w], tid[:h, :w]
+
+        mats = scene.materials
+        if queue_of is not None and mats.has_masked:
+            masked_valid = tri.valid & (queue_of == 1)
+            passes_m, _ = rsetup.bin_all(
+                masked_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+                capacity=capacity, rounds=1,
             )
-            if depth is None:
-                depth, tid = d_r, t_r
-            else:
-                take = d_r > depth
-                depth = jnp.where(take, d_r, depth)
-                tid = jnp.where(take, t_r, tid)
-        targets["Depth"] = depth[:h, :w]
-        targets["TriId"] = tid[:h, :w]
+            inv_vp = jnp.linalg.inv(vp)
+            cam = scene.frame.camera_position
+            zhi = jnp.full((h, w), 2.0)
+            undecided = jnp.ones((h, w), bool)
+            for _ in range(int(ctx.config.get("masked_layers", 3))):
+                d_k, t_k = _raster_merge(
+                    tri, passes_m, tiles_y, tiles_x, z_bounds=(depth, zhi)
+                )
+                d_k, t_k = d_k[:h, :w], t_k[:h, :w]
+                alpha, cutoff = interpolate.resolve_alpha(
+                    geo, tri, t_k, inv_vp, cam, mats, ctx.row0, ctx.full_height
+                )
+                hit = t_k >= 0
+                passed = hit & (alpha >= cutoff) & undecided
+                depth = jnp.where(passed, d_k, depth)
+                tid = jnp.where(passed, t_k, tid)
+                undecided = undecided & hit & ~passed
+                zhi = jnp.where(hit, d_k, 0.0)
+
+        targets["Depth"] = depth
+        targets["TriId"] = tid
         targets["TriSetup"] = tri
+        targets["TriAABB"] = aabb
         return targets
 
 
@@ -115,8 +200,9 @@ class LightCullingNode(BaseNode):
             lin,
             tiles_y=ph // t,
             tiles_x=pw // t,
-            viewport=(w, h),
+            viewport=(w, ctx.fh),
             max_per_tile=int(ctx.config.get("max_lights_per_tile", cfg.LIGHTS_PER_TILE)),
+            row0=ctx.row0,
         )
         targets["LightIndices"] = idx
         targets["LightCounts"] = counts
@@ -147,7 +233,8 @@ class ShadowPrepassNode(BaseNode):
         # dispatches than a per-cascade loop.
         def one_cascade(mat):
             tri, aabb = rsetup.triangle_setup(
-                scene.geometry, mat, width=s, height=s, cull="none"
+                scene.geometry, mat, width=s, height=s, cull="none",
+                clip=False,  # ortho light projection: w == 1, no near clip
             )
             passes, _ = rsetup.bin_all(
                 tri.valid, aabb, tiles_x=tiles, tiles_y=tiles_y,
@@ -166,11 +253,15 @@ class ShadowPrepassNode(BaseNode):
             [one_cascade(mats[c]) for c in range(cfg.NUM_CSM_CASCADES)]
         )
         targets["LightMatrices"] = mats
-        # EVSM moments for cascade 0 with separable blur
-        moments = shadow_k.evsm_warp(targets["ShadowMaps"][0])
         radius = int(ctx.value("Shadow.EvsmBlurRadius", 4))
-        moments = blur_k.blur_1d(blur_k.blur_1d(moments, radius, 0), radius, 1)
-        targets["EvsmMap"] = moments
+        # EVSM moments for EVERY cascade (the reference blurs cascade 0
+        # only and PCFs the rest; all-EVSM turns the per-pixel shadow
+        # factor into ONE gather — see csm_shadow_factor_evsm). The blur
+        # is separable pad+slice traffic, cheap on the prepass side.
+        moments = shadow_k.evsm_warp(targets["ShadowMaps"])  # (C, S, S, 4)
+        moments = blur_k.blur_1d(blur_k.blur_1d(moments, radius, 1), radius, 2)
+        targets["EvsmMaps"] = moments
+        targets["EvsmMap"] = moments[0]
         return targets
 
 
@@ -186,21 +277,38 @@ class SkyNode(BaseNode):
         q = max(1, int(ctx.config.get("sky_downsample", 2)))
         hq, wq = -(-h // q), -(-w // q)
         inv_vp = jnp.linalg.inv(ctx.scene.frame.view_projection)
+        cam = ctx.scene.frame.camera_position
         d = interpolate.pixel_rays_strided(
-            inv_vp, ctx.scene.frame.camera_position, h, w, q
+            inv_vp, cam, h, w, q, ctx.row0, ctx.full_height,
         ) if q > 1 else interpolate.pixel_rays(
-            inv_vp, ctx.scene.frame.camera_position, h, w
+            inv_vp, cam, h, w, ctx.row0, ctx.full_height,
         )
         use_stars = ctx.scene.star_dirs.shape[0] > 0
+        with_clouds = bool(ctx.config.get("sky_clouds", True))
+        cs = int(ctx.config.get("cloud_stride", 2))
+        cloud_override = None
+        if with_clouds and cs > 1:
+            # clouds marched at a further 1/cs of the sky buffer; upsample
+            # in the node so sharded slices stay boundary-exact
+            d_c = interpolate.pixel_rays_strided(
+                inv_vp, cam, h, w, q * cs, ctx.row0, ctx.full_height,
+            )
+            cl_q, ct_q = sky_k.clouds(
+                d_c, ctx.scene.sky, ctx.scene.frame.current_time
+            )
+            cl = ctx.upsample(cl_q, (hq, wq))
+            ct = ctx.upsample(ct_q[..., None], (hq, wq))[..., 0]
+            cloud_override = (cl, ct)
         color = sky_k.sky_radiance(
             d, ctx.scene.sky, ctx.scene.frame.current_time,
             ctx.scene.star_dirs if use_stars else None,
             ctx.scene.star_colors if use_stars else None,
-            with_clouds=bool(ctx.config.get("sky_clouds", True)),
+            with_clouds=with_clouds,
             with_stars=use_stars,
+            cloud_override=cloud_override,
         )
         if q > 1:
-            color = sampling.upsample_bilinear_pow2(color, (h, w))
+            color = ctx.upsample(color, (h, w))
         targets["Sky"] = color
         return targets
 
@@ -242,10 +350,14 @@ class EnvironmentNode(BaseNode):
         irr = ibl_k.irradiance_map(env, resolution=16, samples=128)
         mips = ibl_k.prefiltered_env_mips(env, num_mips=4, samples=32)
         lut = ibl_k.brdf_lut(resolution=64, samples=128)
+        # pack prefiltered mips at ONE resolution so runtime sampling is a
+        # flat 2-lod gather (see cubemap.sample_cubemap_lod_stack)
+        stack = jnp.stack([cm.upsample_cubemap(m, res) for m in mips])
         self._cache = {
             "env/cube": env,
             "env/irradiance": irr,
             "env/brdf_lut": lut,
+            "env/spec_stack": stack,
             **{f"env/mip{i}": m for i, m in enumerate(mips)},
         }
         self._cache_key = key
@@ -263,23 +375,47 @@ class PostProcessNode(BaseNode):
     def process(self, ctx, targets):
         shader = self.p("shader", "")
         if shader == "HBAO":
-            targets["AO"] = pp.hbao(
-                targets["LinearDepth"],
-                ctx.scene.frame.inv_projection,
-                height=ctx.height, width=ctx.width,
-                radius=float(ctx.value("AO.Radius", 0.5)),
-                power=float(ctx.value("AO.Power", 1.5)),
-            )
+            if ctx.sharded:
+                targets["AO"] = pp.hbao_sharded(
+                    targets["LinearDepth"], ctx.scene.frame.inv_projection,
+                    height=ctx.height, width=ctx.width,
+                    radius=float(ctx.value("AO.Radius", 0.5)),
+                    power=float(ctx.value("AO.Power", 1.5)),
+                    axis_name=ctx.mesh_axis, n_shards=ctx.mesh_size,
+                    row0=ctx.row0, full_height=ctx.fh,
+                )
+            else:
+                targets["AO"] = pp.hbao(
+                    targets["LinearDepth"],
+                    ctx.scene.frame.inv_projection,
+                    height=ctx.height, width=ctx.width,
+                    radius=float(ctx.value("AO.Radius", 0.5)),
+                    power=float(ctx.value("AO.Power", 1.5)),
+                )
         elif shader == "HBAO_Blur":
             axis = 0 if self.p("direction", "V") == "V" else 1
-            targets["AO"] = blur_k.blur_1d(targets["AO"], 4, axis)
+            if ctx.sharded and axis == 0:
+                targets["AO"] = blur_k.blur_rows_sharded(
+                    targets["AO"], 4, ctx.mesh_axis, ctx.mesh_size
+                )
+            else:
+                targets["AO"] = blur_k.blur_1d(targets["AO"], 4, axis)
         elif shader == "MotionBlur":
             inv_vp = jnp.linalg.inv(ctx.scene.frame.view_projection)
+            quarter_full = None
+            if ctx.sharded:
+                q_local = pp.downsample_quarter(targets["Main"])
+                quarter_full = jax.lax.all_gather(
+                    q_local, ctx.mesh_axis, axis=0, tiled=True
+                )
             targets["Main"] = pp.motion_blur(
                 targets["Main"], targets["Depth"],
                 ctx.scene.prev_frame.view_projection, inv_vp,
                 intensity=float(ctx.value("MotionBlur.Intensity", 1.0)),
                 num_samples=4,
+                row0=ctx.row0, full_height=ctx.full_height,
+                quarter_full=quarter_full,
+                axis_name=ctx.mesh_axis, n_shards=ctx.mesh_size,
             )
         elif shader == "ChromaticAberration":
             targets["Main"] = pp.chromatic_aberration(
@@ -301,15 +437,25 @@ class RenderSceneNode(BaseNode):
             scene.geometry, targets["TriSetup"], targets["TriId"],
             inv_vp, scene.frame.camera_position,
             materials=scene.materials,
+            full_height=ctx.full_height, row0=ctx.row0,
         )
         if "AO" in targets:
             gbuffer = gbuffer.replace(ao=targets["AO"])
 
         # CSM shadow factor for the sun — computed at half resolution and
-        # upsampled (PCF output is already soft; the taps are HBM-latency
-        # bound so pixel count is the direct cost).
+        # upsampled (the EVSM moments are pre-blurred; the gather is
+        # HBM-latency bound so pixel count is the direct cost).
         shadow = None
-        if "ShadowMaps" in targets:
+        if "EvsmMaps" in targets:
+            shadow_q = shadow_k.csm_shadow_factor_evsm(
+                gbuffer.world_position[::2, ::2], gbuffer.normal[::2, ::2],
+                scene.frame.view,
+                scene.sky.sun_direction, targets["LightMatrices"],
+                targets["EvsmMaps"],
+                z_far=float(ctx.config.get("z_far", 100.0)),
+            )
+            shadow = ctx.upsample(shadow_q, (ctx.height, ctx.width))
+        elif "ShadowMaps" in targets:
             shadow_q = shadow_k.csm_shadow_factor(
                 gbuffer.world_position[::2, ::2], gbuffer.normal[::2, ::2],
                 scene.frame.view,
@@ -318,9 +464,7 @@ class RenderSceneNode(BaseNode):
                 z_far=float(ctx.config.get("z_far", 100.0)),
                 use_evsm=True,
             )
-            shadow = sampling.upsample_bilinear_pow2(
-                shadow_q, (ctx.height, ctx.width)
-            )
+            shadow = ctx.upsample(shadow_q, (ctx.height, ctx.width))
 
         # IBL ambient if the environment bake is present. Computed at
         # quarter resolution and bilinearly upsampled: the ambient term is
@@ -330,18 +474,26 @@ class RenderSceneNode(BaseNode):
         ibl_ambient = None
         state = ctx.state or {}
         if "env/irradiance" in state:
-            mips = [state[k] for k in sorted(state) if k.startswith("env/mip")]
             view_dir = m3.normalize(
                 gbuffer.world_position - scene.frame.camera_position
             )
             q = 2
-            amb_q = ibl_k.ambient_ibl(
-                gbuffer.albedo[::q, ::q], gbuffer.metallic[::q, ::q],
-                gbuffer.roughness[::q, ::q], gbuffer.ao[::q, ::q],
-                gbuffer.normal[::q, ::q], view_dir[::q, ::q],
-                state["env/irradiance"], mips, state["env/brdf_lut"],
-            )
-            ibl_ambient = sampling.upsample_bilinear_pow2(
+            if "env/spec_stack" in state:
+                amb_q = ibl_k.ambient_ibl_packed(
+                    gbuffer.albedo[::q, ::q], gbuffer.metallic[::q, ::q],
+                    gbuffer.roughness[::q, ::q], gbuffer.ao[::q, ::q],
+                    gbuffer.normal[::q, ::q], view_dir[::q, ::q],
+                    state["env/irradiance"], state["env/spec_stack"],
+                )
+            else:
+                mips = [state[k] for k in sorted(state) if k.startswith("env/mip")]
+                amb_q = ibl_k.ambient_ibl(
+                    gbuffer.albedo[::q, ::q], gbuffer.metallic[::q, ::q],
+                    gbuffer.roughness[::q, ::q], gbuffer.ao[::q, ::q],
+                    gbuffer.normal[::q, ::q], view_dir[::q, ::q],
+                    state["env/irradiance"], mips, state["env/brdf_lut"],
+                )
+            ibl_ambient = ctx.upsample(
                 amb_q, (ctx.height, ctx.width)
             ) * gbuffer.coverage[..., None]
 
@@ -366,6 +518,7 @@ class RenderSceneNode(BaseNode):
                 scene.frame.camera_position,
                 shadow_factors=shadow,
                 ibl_ambient=ibl_ambient,
+                tile_light_counts=targets.get("LightCounts"),
             )[: ctx.height, : ctx.width]
         else:
             hdr = pbr.shade_forward_plus(
@@ -383,15 +536,114 @@ class RenderSceneNode(BaseNode):
         return targets
 
 
+@node("RenderTransparent")
+class RenderTransparentNode(BaseNode):
+    """Transparent render queue: K-layer depth peel + back-to-front blend.
+
+    The reference tags materials Transparent and blends them after the
+    opaque scene (Types.h:524-580 RenderState blend modes;
+    RenderSceneNode.cpp tag filter). A TPU visibility buffer can't blend
+    in raster order, so the nearest K transparent layers are peeled with
+    the z-bounded raster, each layer is resolved + Forward+ shaded, and
+    layers composite back-to-front over Main with per-pixel alpha
+    (albedo.a x vertex color.a x material opacity).
+    """
+
+    def process(self, ctx, targets):
+        scene = ctx.scene
+        mats = scene.materials
+        if mats is None or not mats.has_transparent:
+            return targets
+        geo = scene.geometry
+        w, h = ctx.width, ctx.height
+        pw = round_up(w, tile_raster.TILE_W)
+        ph = round_up(h, tile_raster.TILE_H)
+        tiles_x, tiles_y = pw // tile_raster.TILE_W, ph // tile_raster.TILE_H
+
+        # Transparent surfaces render two-sided (you see the inside of a
+        # glass sphere through its front) — fresh setup with cull="none".
+        tri, aabb = rsetup.triangle_setup(
+            geo, scene.frame.view_projection, width=w, height=ctx.fh,
+            cull="none",
+        )
+        if ctx.sharded:
+            xmin, xmax, ymin, ymax = aabb
+            tri = rsetup.shift_viewport_rows(tri, ctx.row0)
+            in_slice = (ymax >= ctx.row0) & (ymin < ctx.row0 + h)
+            tri = tri.replace(valid=tri.valid & in_slice)
+            aabb = (xmin, xmax, ymin - ctx.row0, ymax - ctx.row0)
+        tvalid = tri.valid & (
+            mats.queue[geo.material_id[tri.src_id]] == 2
+        )
+        passes, _ = rsetup.bin_all(
+            tvalid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+            capacity=int(ctx.config.get("bin_capacity", 512)), rounds=1,
+        )
+
+        K = int(ctx.config.get("transparent_layers", 3))
+        zlo = targets["Depth"]
+        zhi = jnp.full((h, w), 2.0)
+        layers = []
+        for _ in range(K):
+            d_k, t_k = _raster_merge(
+                tri, passes, tiles_y, tiles_x, z_bounds=(zlo, zhi)
+            )
+            d_k, t_k = d_k[:h, :w], t_k[:h, :w]
+            layers.append(t_k)
+            zhi = jnp.where(t_k >= 0, d_k, 0.0)
+
+        inv_vp = jnp.linalg.inv(scene.frame.view_projection)
+        cam = scene.frame.camera_position
+        t = cfg.LIGHTS_CULLING_TILE_SIZE
+        php, ppw = round_up(h, t), round_up(w, t)
+        color = targets["Main"]
+        for t_k in reversed(layers):
+            gb, _uv, mat_id = interpolate.resolve_gbuffer(
+                geo, tri, t_k, inv_vp, cam, materials=mats,
+                full_height=ctx.full_height, row0=ctx.row0,
+            )
+            gb_p = gb
+            if (php, ppw) != (h, w):
+                def pad2(x):
+                    padw = [(0, php - h), (0, ppw - w)] + [(0, 0)] * (x.ndim - 2)
+                    return jnp.pad(x, padw)
+                gb_p = jax.tree.map(pad2, gb)
+            hdr = pbr.shade_forward_plus(
+                gb_p, scene.lights, targets["LightIndices"], cam,
+            )[:h, :w]
+            a = (
+                gb.albedo[..., 3] * mats.opacity[mat_id] * gb.coverage
+            )[..., None]
+            color = color * (1.0 - a) + hdr * a
+        targets["Main"] = color
+        return targets
+
+
 @node("Bloom")
 class BloomNode(BaseNode):
     def process(self, ctx, targets):
-        targets["Main"] = targets["Main"] + bloom_k.bloom(
-            targets["Main"],
+        kw = dict(
             threshold=float(ctx.value("Bloom.Threshold", 1.0)),
             knee=float(ctx.value("Bloom.Knee", 0.5)),
             intensity=float(ctx.value("Bloom.Intensity", 0.35)),
         )
+        if ctx.sharded:
+            # bloom's mip chain spans the whole frame: all_gather the HDR
+            # rows (replicated compute — the frame is small next to ICI
+            # bandwidth) and slice the local rows back out.
+            full = jax.lax.all_gather(
+                targets["Main"], ctx.mesh_axis, axis=0, tiled=True
+            )
+            bloomed = full + bloom_k.bloom(full, **kw)
+            targets["Main"] = jax.lax.dynamic_slice(
+                bloomed, (ctx.row0, 0, 0),
+                (ctx.height, bloomed.shape[1], bloomed.shape[2]),
+            )
+        else:
+            targets["Main"] = targets["Main"] + bloom_k.bloom(
+                targets["Main"], **kw
+            )
         return targets
 
 
@@ -404,9 +656,14 @@ class EyeAdaptationNode(BaseNode):
         hdr = targets["Main"]
         h, w = hdr.shape[:2]
         hist = hist_k.luminance_histogram(hdr)
+        if ctx.sharded:
+            # exposure is a GLOBAL statistic: sum the per-slice histograms
+            # over ICI (the reference's single compute dispatch becomes one
+            # psum — RHIFrameGraph barrier machinery has no analog here)
+            hist = jax.lax.psum(hist, ctx.mesh_axis)
         prev = (ctx.state or {}).get("avg_luminance", jnp.asarray(0.18))
         avg = hist_k.adapt_average_luminance(
-            hist, prev, float(h * w), ctx.scene.frame.delta_time + 0.25,
+            hist, prev, float(w * ctx.fh), ctx.scene.frame.delta_time + 0.25,
             tau=float(ctx.value("EyeAdaptation.Tau", 1.1)),
         )
         mode = str(ctx.config.get("tonemap", "aces"))
@@ -431,13 +688,22 @@ class BlitNode(BaseNode):
 
 @node("DepthHighZ")
 class DepthHighZNode(BaseNode):
-    """HiZ min-pyramid (ComputeDepthHighZ.shader) for occlusion queries."""
+    """HiZ min-pyramid (ComputeDepthHighZ.shader) for occlusion queries.
+
+    With ``hiz_culling`` on, the culling levels (texel sizes 4/8/16 px)
+    ride through temporal state so next frame's DepthPrepass can occlusion-
+    cull triangles against them (ComputeMeshCulling.shader consumer).
+    """
 
     def process(self, ctx, targets):
         levels = int(self.p("levels", 5))
         mips = sampling.build_min_pyramid(targets["Depth"], levels)
         for i, m in enumerate(mips[1:], 1):
             targets[f"HiZ/mip{i}"] = m
+        if ctx.config.get("hiz_culling", False):
+            out = targets.setdefault("state_out", {})
+            for i, m in enumerate(mips[2:5]):
+                out[f"hiz/mip{i}"] = m
         return targets
 
 
@@ -452,6 +718,36 @@ class DebugDrawNode(BaseNode):
             return targets
         targets["Main"] = dbg.rasterize_over(
             targets["Main"], ctx.scene.frame.view_projection
+        )
+        return targets
+
+
+@node("RenderOverlay")
+class RenderOverlayNode(BaseNode):
+    """Composite the host-built HUD canvas over Final
+    (RenderImGuiNode.cpp + ImGuiUI.shader analog).
+
+    The canvas is a fixed-shape (h, w, 4) straight-alpha array prepared by
+    engine/overlay.OverlayContext and passed through temporal state as
+    "overlay/canvas"; absent -> no-op. Position params: x, y (pixels)."""
+
+    def process(self, ctx, targets):
+        state = ctx.state or {}
+        canvas = state.get("overlay/canvas")
+        if canvas is None or "Final" not in targets:
+            return targets
+        final = targets["Final"]
+        h, w = final.shape[:2]
+        ch, cw = canvas.shape[:2]
+        ch, cw = min(ch, h), min(cw, w)
+        x0 = int(self.p("x", 0))
+        y0 = int(self.p("y", 0))
+        patch = final[y0 : y0 + ch, x0 : x0 + cw]
+        rgb = canvas[:ch, :cw, :3]
+        a = canvas[:ch, :cw, 3:4]
+        blended = patch * (1.0 - a) + rgb * a
+        targets["Final"] = jax.lax.dynamic_update_slice(
+            final, blended, (y0, x0, 0)
         )
         return targets
 

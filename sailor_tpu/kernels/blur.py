@@ -54,6 +54,18 @@ def blur_1d(img, radius: int, axis: int):
     return out
 
 
+def blur_rows_sharded(img, radius: int, axis_name: str, n_shards: int):
+    """Vertical blur_1d for a row-sharded image, bit-matching the
+    full-frame pass: exchange `radius` halo rows, blur the extended
+    window (its edge-clamped reads land only in the discarded halo),
+    crop the center."""
+    from sailor_tpu.kernels.postprocess import exchange_row_halo
+
+    r = max(1, min(int(radius), MAX_RADIUS))
+    ext = exchange_row_halo(img, r, axis_name, n_shards)
+    return blur_1d(ext, radius, 0)[r:-r]
+
+
 def gaussian_blur(img, radius: int):
     """Full separable blur (vertical then horizontal, Blur.shader usage)."""
     return blur_1d(blur_1d(img, radius, 0), radius, 1)

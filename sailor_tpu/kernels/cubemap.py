@@ -106,6 +106,62 @@ def sample_cubemap_lod(mips, d, lod):
     return acc_lo * (1.0 - frac) + acc_hi * frac
 
 
+def sample_cubemap_lod_stack(stack, d, lod):
+    """Trilinear sample from a SAME-RESOLUTION mip stack (M, 6, R, R, C).
+
+    The list-of-mips path (sample_cubemap_lod) gathers every mip then
+    selects — 4 mips x 4 bilinear corners = 16 HBM-latency gathers per
+    pixel. Packing the prefiltered levels at one resolution (upsampled at
+    bake time, cached) makes the lod axis part of the flat index: 2 lods x
+    4 corners = 8 gathers.
+    """
+    m, _, r, _, c = stack.shape
+    lod = jnp.clip(lod, 0.0, m - 1.0)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, m - 1)
+    frac = (lod - lo.astype(jnp.float32))[..., None]
+
+    face, u, v = direction_to_face_uv(d)
+    flat = stack.reshape(m * 6 * r * r, c)
+    fx = u * r - 0.5
+    fy = v * r - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+
+    def bilinear(level):
+        base = (level * 6 + face) * (r * r)
+
+        def fetch(yy, xx):
+            yy = jnp.clip(yy, 0, r - 1)
+            xx = jnp.clip(xx, 0, r - 1)
+            return flat[base + yy * r + xx]
+
+        c00 = fetch(y0, x0)
+        c10 = fetch(y0, x0 + 1)
+        c01 = fetch(y0 + 1, x0)
+        c11 = fetch(y0 + 1, x0 + 1)
+        top = c00 + (c10 - c00) * tx
+        bot = c01 + (c11 - c01) * tx
+        return top + (bot - top) * ty
+
+    return bilinear(lo) * (1.0 - frac) + bilinear(hi) * frac
+
+
+def upsample_cubemap(cube, resolution: int):
+    """Bilinear per-face upsample to (6, resolution, resolution, C) — used
+    to pack prefiltered mips at one resolution at bake time."""
+    from sailor_tpu.kernels import sampling
+
+    if cube.shape[1] == resolution:
+        return cube
+    return jnp.stack([
+        sampling.blit(cube[f], (resolution, resolution))
+        for f in range(6)
+    ])
+
+
 def equirect_to_cube(equirect, resolution: int):
     """Equirectangular (H, W, C) -> cubemap (6, R, R, C)
     (ComputeEquirect2Cube.shader)."""

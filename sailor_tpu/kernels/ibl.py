@@ -130,6 +130,44 @@ def brdf_lut(resolution: int = 256, samples: int = 256):
     return jnp.stack([a / samples, b / samples], axis=-1)  # (R, R, 2)
 
 
+def env_brdf_approx(f0, roughness, cos_v):
+    """Analytic split-sum env BRDF (Karis/Lazarov mobile approximation) —
+    replaces the 4 LUT gathers of sampling ComputeBrdfLut.shader's table
+    with pure ALU (max error ~0.005 vs the Monte-Carlo LUT)."""
+    r4 = roughness[..., None] * jnp.asarray([-1.0, -0.0275, -0.572, 0.022]) \
+        + jnp.asarray([1.0, 0.0425, 1.04, -0.04])
+    a004 = (
+        jnp.minimum(r4[..., 0] * r4[..., 0], jnp.exp2(-9.28 * cos_v))
+        * r4[..., 0] + r4[..., 1]
+    )
+    a = -1.04 * a004 + r4[..., 2]
+    b = 1.04 * a004 + r4[..., 3]
+    return f0 * a[..., None] + b[..., None]
+
+
+def ambient_ibl_packed(
+    albedo, metallic, roughness, ao, normal, view_dir,
+    irradiance_cube, spec_stack,
+):
+    """Fast AmbientLighting: packed-mip specular (8 gathers) + analytic
+    env BRDF (0 gathers) + irradiance cube (4 gathers). The list-of-mips
+    path costs 24 gathers/pixel — at quarter res that was ~26 ms of the
+    1080p frame (gathers are HBM-latency bound)."""
+    cos_lo = jnp.maximum(m3.dot(normal, -view_dir, keepdims=True), 0.0)
+    lr = m3.reflect(view_dir, normal)
+    f0 = 0.04 + (albedo[..., :3] - 0.04) * metallic[..., None]
+
+    irr = cm.sample_cubemap(irradiance_cube, normal)
+    f = fresnel_schlick_roughness(f0, cos_lo, roughness[..., None])
+    kd = (1.0 - f) * (1.0 - metallic[..., None])
+    diffuse = kd * albedo[..., :3] * irr
+
+    lod = roughness * (spec_stack.shape[0] - 1)
+    spec_irr = cm.sample_cubemap_lod_stack(spec_stack, lr, lod)
+    spec = env_brdf_approx(f0, roughness, cos_lo[..., 0]) * spec_irr
+    return ao[..., None] * (diffuse + spec)
+
+
 def ambient_ibl(
     albedo, metallic, roughness, ao, normal, view_dir,
     irradiance_cube, env_mips, lut,

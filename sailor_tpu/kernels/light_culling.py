@@ -42,17 +42,19 @@ def tile_depth_bounds(linear_depth, tiles_y: int, tiles_x: int):
     return t.min(axis=(1, 3)), t.max(axis=(1, 3))
 
 
-def _tile_side_planes(tiles_y: int, tiles_x: int, viewport, inv_projection):
+def _tile_side_planes(tiles_y: int, tiles_x: int, viewport, inv_projection,
+                      row0=0):
     """View-space side planes for every tile: (Ty, Tx, 4, 4).
 
     All four planes pass through the eye (origin), so each is defined purely
     by its normal: n = normalize(cross(edge_dir_a, edge_dir_b)) with corner
     rays unprojected from the tile's screen-space corners
     (ComputeLightCulling.shader CreateFrustum, vectorized over tiles).
+    ``row0``: global pixel row of the first local tile row (screen-sharded).
     """
     vw, vh = viewport
     xs = jnp.arange(tiles_x + 1, dtype=jnp.float32) * TILE
-    ys = jnp.arange(tiles_y + 1, dtype=jnp.float32) * TILE
+    ys = jnp.arange(tiles_y + 1, dtype=jnp.float32) * TILE + row0
     # Screen -> NDC (y down in screen, up in NDC)
     ndc_x = xs / vw * 2.0 - 1.0
     ndc_y = 1.0 - ys / vh * 2.0
@@ -94,12 +96,16 @@ def cull_lights(
     tiles_x: int,
     viewport: tuple[int, int],
     max_per_tile: int = config.LIGHTS_PER_TILE,
+    row0=0,
 ):
     """Returns (indices (Ty, Tx, K) int32 with -1 padding, counts (Ty, Tx)).
 
     ``linear_depth``: (Ty*TILE, Tx*TILE) positive view-space depth.
+    ``viewport`` is always the FULL (w, h); ``row0`` shifts tile rows for
+    a screen-sharded slice.
     """
-    planes = _tile_side_planes(tiles_y, tiles_x, viewport, inv_projection)
+    planes = _tile_side_planes(tiles_y, tiles_x, viewport, inv_projection,
+                               row0)
     zmin, zmax = tile_depth_bounds(linear_depth, tiles_y, tiles_x)
     # Reference widens the depth slab by its own extent on both sides
     # (ComputeLightCulling.shader: zFar -= diff; zNear += diff — note the

@@ -40,9 +40,20 @@ def linearize_depth(depth_rev, z_near: float, z_far: float):
     )
 
 
-def reconstruct_view_pos(linear_depth, inv_projection, height: int, width: int):
-    """View-space position per pixel from linear depth."""
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+def reconstruct_view_pos(linear_depth, inv_projection, height: int, width: int,
+                         row0=0, full_height: int | None = None,
+                         clamp_rows: bool = False):
+    """View-space position per pixel from linear depth.
+
+    ``clamp_rows``: clamp global rows into [0, fh) — halo rows past the
+    global viewport reproduce the edge-clamped coordinates the full-frame
+    pass would use (screen-sharded HBAO exactness).
+    """
+    fh = full_height if full_height is not None else height
+    rows = jnp.arange(height, dtype=jnp.float32) + row0
+    if clamp_rows:
+        rows = jnp.clip(rows, 0.0, fh - 1.0)
+    ys = (rows + 0.5) / fh
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     u, v = jnp.meshgrid(xs, ys, indexing="xy")
     ndc = jnp.stack([u * 2 - 1, 1 - 2 * v, jnp.full_like(u, 0.5), jnp.ones_like(u)], -1)
@@ -54,7 +65,8 @@ def reconstruct_view_pos(linear_depth, inv_projection, height: int, width: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_samples", "height", "width"),
+    static_argnames=("num_samples", "height", "width", "full_height",
+                     "clamp_rows"),
 )
 def hbao(
     linear_depth,
@@ -66,6 +78,9 @@ def hbao(
     power: float = 1.5,
     bias: float = 0.1,
     num_samples: int = 4,
+    row0=0,
+    full_height: int | None = None,
+    clamp_rows: bool = False,
 ):
     """Horizon-based ambient occlusion over the linear-depth buffer.
 
@@ -81,7 +96,8 @@ def hbao(
 
     Returns (H, W) AO in [0,1] (1 = unoccluded).
     """
-    p = reconstruct_view_pos(linear_depth, inv_projection, height, width)
+    p = reconstruct_view_pos(linear_depth, inv_projection, height, width,
+                             row0, full_height, clamp_rows)
     # Screen-space normal from depth differences.
     dzdx = _shift(p, 1, 1) - p
     dzdy = _shift(p, 0, 1) - p
@@ -107,6 +123,42 @@ def hbao(
     return jnp.clip(ao, 0.0, 1.0) ** power
 
 
+_HBAO_HALO = 17  # max vertical reach: 16-texel march step + 1-row normal
+
+
+def exchange_row_halo(img, r: int, axis_name: str, n_shards: int):
+    """Extend a row-sharded image with r true neighbor rows on each side
+    (ppermute); edge shards replicate their own edge row (matching the
+    full-frame edge clamp). Returns (ext (h+2r, ...),)."""
+    idx = jax.lax.axis_index(axis_name)
+    top, bot = img[:r], img[-r:]
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    prev = jax.lax.ppermute(bot, axis_name, fwd)
+    nxt = jax.lax.ppermute(top, axis_name, bwd)
+    edge_top = jnp.repeat(img[:1], r, axis=0)
+    edge_bot = jnp.repeat(img[-1:], r, axis=0)
+    prev = jnp.where(idx == 0, edge_top, prev)
+    nxt = jnp.where(idx == n_shards - 1, edge_bot, nxt)
+    return jnp.concatenate([prev, img, nxt], axis=0)
+
+
+def hbao_sharded(linear_depth, inv_projection, *, height, width, radius,
+                 power, axis_name, n_shards, row0, full_height):
+    """HBAO for a row slice, bit-matching the full-frame pass: the march
+    reads up to 16 rows past the slice, so exchange a 17-row halo, run the
+    kernel on the extended window with globally-clamped row coordinates,
+    and crop the center."""
+    r = _HBAO_HALO
+    ext = exchange_row_halo(linear_depth, r, axis_name, n_shards)
+    ao = hbao(
+        ext, inv_projection, height=height + 2 * r, width=width,
+        radius=radius, power=power, row0=row0 - r, full_height=full_height,
+        clamp_rows=True,
+    )
+    return ao[r:-r]
+
+
 def _shift(img, axis: int, d: int):
     if d == 0:
         return img
@@ -130,7 +182,19 @@ def _sample_shift(img, du, dv, height, width):
     return sampling.sample_bilinear(img, uv)
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
+def downsample_quarter(color):
+    """4x box downsample (the motion-blur tap table)."""
+    h, w = color.shape[:2]
+    q = 4
+    he, we = (h // q) * q, (w // q) * q
+    ce = color[:he, :we].reshape(he // q, q, we // q, q, -1)
+    return ce.mean(axis=(1, 3))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_samples", "full_height", "axis_name", "n_shards"),
+)
 def motion_blur(
     color,
     depth_rev,
@@ -139,15 +203,23 @@ def motion_blur(
     *,
     intensity: float = 1.0,
     num_samples: int = 8,
+    row0=0,
+    full_height: int | None = None,
+    quarter_full=None,
+    axis_name: str | None = None,
+    n_shards: int = 1,
 ):
     """Camera motion blur: reproject each pixel into the previous frame and
     average samples along the screen-space velocity (MotionBlur.shader).
 
     ``depth_rev``: the raster's reverse-Z NDC depth buffer — unprojecting
     (ndc_xy, depth) through inv(view_proj) reconstructs world exactly.
+    ``quarter_full``: optional full-frame 4x-downsampled tap table (screen
+    sharding passes the all_gathered quarter so taps can cross slices).
     """
     h, w = color.shape[:2]
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    fh = full_height if full_height is not None else h
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5 + row0) / fh
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
     u, v = jnp.meshgrid(xs, ys, indexing="xy")
     ndc = jnp.stack(
@@ -161,24 +233,27 @@ def motion_blur(
     )
     vel = (jnp.stack([u, v], -1) - prev_uv) * intensity
     uv0 = jnp.stack([u, v], -1)
-    # The blur taps run at HALF resolution: the tapped table drops from
-    # ~25 MB (HBM-latency-bound gathers, ~14 ms/tap) to ~6 MB
-    # (VMEM-stageable, ~50x faster), and the motion-blurred contribution is
-    # low-frequency by construction. The center tap stays full-res sharp.
-    he, we = (h // 2) * 2, (w // 2) * 2
-    ce = color[:he, :we]
-    half = 0.25 * (
-        ce[0::2, 0::2] + ce[1::2, 0::2] + ce[0::2, 1::2] + ce[1::2, 1::2]
-    )
-    uv_h = uv0[:he:2, :we:2]
-    vel_h = vel[:he:2, :we:2]
-    acc_h = jnp.zeros_like(half)
+    # The blur taps run at QUARTER resolution: gather cost is row-count
+    # latency (~3.5 ms per half-res tap, ~0.9 ms per quarter-res tap at
+    # 1080p measured), and the motion-blurred contribution is low-frequency
+    # by construction. The center tap stays full-res sharp.
+    q = 4
+    he, we = (h // q) * q, (w // q) * q
+    quarter = quarter_full if quarter_full is not None else downsample_quarter(color)
+    uv_h = uv0[: he : q, : we : q]
+    vel_h = vel[: he : q, : we : q]
+    acc_h = jnp.zeros((he // q, we // q, color.shape[-1]), color.dtype)
     # nearest taps: 1 gather per sample (vs 4 for bilinear) — the blur
     # direction averaging already low-passes the result
     for s in range(1, num_samples):
         t = s / num_samples
-        acc_h = acc_h + sampling.sample_nearest(half, uv_h - vel_h * t)
-    acc = sampling.upsample_bilinear_pow2(acc_h, (h, w))
+        acc_h = acc_h + sampling.sample_nearest(quarter, uv_h - vel_h * t)
+    if axis_name is not None:
+        acc = sampling.upsample_bilinear_pow2_sharded(
+            acc_h, (h, w), axis_name, n_shards
+        )
+    else:
+        acc = sampling.upsample_bilinear_pow2(acc_h, (h, w))
     return (color + acc) / num_samples
 
 

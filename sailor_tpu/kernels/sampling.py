@@ -87,7 +87,7 @@ def blit(src, dst_hw: tuple[int, int], *, filter: str = "bilinear"):
     return sample_bilinear(src, uv)
 
 
-def _upsample_axis(x, f: int, axis: int):
+def _upsample_axis(x, f: int, axis: int, prev_edge=None, next_edge=None):
     """Bilinear upsample one axis by integer factor f with STATIC offsets.
 
     Phase-interleave formulation: output sample f*j+p maps to source
@@ -96,23 +96,31 @@ def _upsample_axis(x, f: int, axis: int):
     zero gathers). Matches ``blit``'s texel-center convention exactly for
     integer factors; measured ~15ms -> <1ms per 1080p upsample vs the
     gather-based sampler.
+
+    ``prev_edge``/``next_edge``: optional out-of-array neighbor slices
+    (1 element thick along ``axis``) replacing the edge clamp — used by
+    screen-row sharding to make per-shard upsampling bit-match the
+    single-device result at slice boundaries (halo from ppermute).
     """
     n = x.shape[axis]
 
-    def shift(arr, d):
-        # edge-clamped neighbor along `axis` (static slice + concat)
+    def shift(arr, d, halo):
+        # edge-clamped neighbor along `axis` (static slice + concat);
+        # `halo` overrides the clamped edge with the true neighbor row.
         sl = [slice(None)] * arr.ndim
         edge = [slice(None)] * arr.ndim
         if d < 0:
             sl[axis] = slice(0, n - 1)
             edge[axis] = slice(0, 1)
-            return jnp.concatenate([arr[tuple(edge)], arr[tuple(sl)]], axis)
+            first = halo if halo is not None else arr[tuple(edge)]
+            return jnp.concatenate([first, arr[tuple(sl)]], axis)
         sl[axis] = slice(1, n)
         edge[axis] = slice(n - 1, n)
-        return jnp.concatenate([arr[tuple(sl)], arr[tuple(edge)]], axis)
+        last = halo if halo is not None else arr[tuple(edge)]
+        return jnp.concatenate([arr[tuple(sl)], last], axis)
 
-    prev = shift(x, -1)
-    nxt = shift(x, +1)
+    prev = shift(x, -1, prev_edge)
+    nxt = shift(x, +1, next_edge)
     phases = []
     for p in range(f):
         o = (p + 0.5) / f - 0.5
@@ -126,19 +134,51 @@ def _upsample_axis(x, f: int, axis: int):
     return st.reshape(x.shape[: axis] + (n * f,) + x.shape[axis + 1 :])
 
 
-def upsample_bilinear_pow2(src, dst_hw: tuple[int, int]):
+def upsample_bilinear_pow2(src, dst_hw: tuple[int, int], prev_row=None,
+                           next_row=None):
     """Bilinear resize-up by integer factors (gather-free fast path).
 
     ``src`` (h, w[, C]) -> (H, W[, C]) where H = f*h cropped to dst (the
     half/quarter-res G-buffer terms use ceil-division subsampling, so the
     upsampled result can overshoot by < f rows/cols).
+    ``prev_row``/``next_row``: optional (1, w[, C]) neighbor rows for
+    slice-boundary-exact upsampling under screen sharding.
     """
     H, W = dst_hw
     h, w = src.shape[0], src.shape[1]
     fy = -(-H // h)
     fx = -(-W // w)
-    out = _upsample_axis(_upsample_axis(src, fy, 0), fx, 1)
+    out = _upsample_axis(
+        _upsample_axis(src, fy, 0, prev_edge=prev_row, next_edge=next_row),
+        fx, 1,
+    )
     return out[:H, :W]
+
+
+def upsample_bilinear_pow2_sharded(src, dst_hw: tuple[int, int],
+                                   axis_name: str, n_shards: int):
+    """Slice-boundary-exact upsample under screen-row shard_map.
+
+    Per-shard edge clamping diverges from the single-device result on the
+    first/last output row of every interior slice; exchanging ONE source
+    row with each neighbor (ppermute) restores bit-exact equality. Shard 0
+    keeps the clamped top edge, shard n-1 the clamped bottom edge.
+    """
+    import jax
+
+    if n_shards <= 1:
+        return upsample_bilinear_pow2(src, dst_hw)
+    idx = jax.lax.axis_index(axis_name)
+    top = src[:1]
+    bot = src[-1:]
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]   # bottom row -> next
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]   # top row -> previous
+    prev_row = jax.lax.ppermute(bot, axis_name, fwd)
+    next_row = jax.lax.ppermute(top, axis_name, bwd)
+    prev_row = jnp.where(idx == 0, top, prev_row)
+    next_row = jnp.where(idx == n_shards - 1, bot, next_row)
+    return upsample_bilinear_pow2(src, dst_hw, prev_row=prev_row,
+                                  next_row=next_row)
 
 
 def downsample2x_min(img):

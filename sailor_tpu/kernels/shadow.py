@@ -197,7 +197,9 @@ def shadow_pcf(shadow_map, light_mat, world_pos, normal, light_dir,
 def shadow_evsm(evsm_map, light_mat, world_pos, *, light_bleed: float = 0.2):
     """EVSM shadow factor using blurred moments (ShadowCalculation_Evsm)."""
     uv, z_rev, ok = _project_to_shadow(light_mat, world_pos)
-    z = 1.0 - z_rev + 0.002  # standard depth + small receiver bias
+    z = 1.0 - z_rev - 0.002  # receiver nudged TOWARD the light: the
+    # exp warp amplifies depth bias multiplicatively, so a positive bias
+    # self-shadows every lit surface once local variance is small
     # nearest tap: the moments map is already Gaussian-blurred, so the
     # bilinear filter adds 3 extra 16MB-table gathers for no visible gain
     moments = sampling.sample_nearest(evsm_map, uv)  # (..., 4)
@@ -231,6 +233,56 @@ def _pcf_stacked(maps_flat, s: int, cascade: int, light_mat, world_pos,
         d = 1.0 - maps_flat[base + y * s + x]
         occl = occl + jnp.where(z - bias > d, 1.0, 0.0)
     lit = 1.0 - occl / num_taps
+    return jnp.where(ok, lit, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def csm_shadow_factor_evsm(
+    world_pos,            # (H, W, 3)
+    normal,               # (H, W, 3) (unused; EVSM needs no slope bias)
+    view,
+    light_dir,
+    light_mats,           # (C, 4, 4)
+    evsm_maps,            # (C, S, S, 4) blurred moments, ALL cascades
+    z_far: float = 100.0,
+    light_bleed: float = 0.2,
+):
+    """CSM factor with EVSM moments for EVERY cascade: ONE moment gather
+    per pixel (flat layer-offset index) + Chebyshev math.
+
+    The reference uses EVSM for cascade 0 and PCF for the rest
+    (LightingECS.cpp EVSM cascade, Lighting.glsl ShadowCalculation_Pcf);
+    on TPU the 8 Poisson PCF taps are 8 HBM-latency gathers (~28 ms at
+    1080p/half-res) while EVSM is 1 gather + ALU — so all cascades get
+    pre-blurred moments (prepass-side cost: sequential blur traffic, ~2 ms).
+    """
+    layer = select_cascade(view, world_pos, z_far)
+    s = evsm_maps.shape[1]
+    flat = evsm_maps.reshape(-1, 4)
+
+    # Per-pixel cascade select via where-chains: take_along_axis lowers to
+    # per-pixel gathers on TPU (~20 ms at half-res 1080p measured); four
+    # dense selects are ~free on the VPU.
+    uv = z_rev = ok = None
+    for c in range(config.NUM_CSM_CASCADES):
+        uv_c, z_c, ok_c = _project_to_shadow(light_mats[c], world_pos)
+        if uv is None:
+            uv, z_rev, ok = uv_c, z_c, ok_c
+        else:
+            sel = layer == c
+            uv = jnp.where(sel[..., None], uv_c, uv)
+            z_rev = jnp.where(sel, z_c, z_rev)
+            ok = jnp.where(sel, ok_c, ok)
+
+    z = 1.0 - z_rev - 0.002  # receiver toward the light (see shadow_evsm)
+    x = jnp.clip(jnp.floor(uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+    y = jnp.clip(jnp.floor(uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+    moments = flat[layer * (s * s) + y * s + x]  # (..., 4) — THE gather
+    pz = jnp.exp(config.EVSM_C1 * z)
+    nz = -jnp.exp(-config.EVSM_C2 * z)
+    lit_p = chebyshev(moments[..., 0], moments[..., 1], pz, 0.01, light_bleed)
+    lit_n = chebyshev(moments[..., 2], moments[..., 3], nz, 1e-5, light_bleed)
+    lit = jnp.minimum(lit_p, lit_n)
     return jnp.where(ok, lit, 1.0)
 
 

@@ -229,7 +229,9 @@ def stars(d, star_dirs, star_colors, transmittance, *, sharpness: float = 8000.0
     return col.reshape(shape + (3,)) * transmittance
 
 
-@functools.partial(jax.jit, static_argnames=("with_clouds", "with_stars"))
+@functools.partial(
+    jax.jit, static_argnames=("with_clouds", "with_stars", "cloud_stride")
+)
 def sky_radiance(
     d,
     params: SkyParams,
@@ -239,13 +241,35 @@ def sky_radiance(
     *,
     with_clouds: bool = True,
     with_stars: bool = False,
+    cloud_stride: int = 1,
+    cloud_override=None,
 ):
-    """Full sky: atmosphere + clouds + sun + stars, for directions d."""
+    """Full sky: atmosphere + clouds + sun + stars, for directions d.
+
+    ``cloud_stride``: march the FBM cloud slab every Nth ray and upsample —
+    clouds are the lowest-frequency term and by far the costliest (the
+    reference renders the whole sky half-res, SkyNode.cpp; we march clouds
+    at a further 1/stride of that). ``cloud_override``: precomputed
+    (cloud_color, cloud_transmittance) at d's resolution (the SkyNode
+    computes clouds externally so sharded upsampling stays boundary-exact).
+    """
     atm, trans = atmosphere(d, params.sun_direction, params.sun_intensity)
     color = atm
     cloud_t = jnp.ones(d.shape[:-1])
-    if with_clouds:
-        cl, cloud_t = clouds(d, params, time)
+    if cloud_override is not None:
+        cl, cloud_t = cloud_override
+        color = color * cloud_t[..., None] + cl
+    elif with_clouds:
+        if cloud_stride > 1 and d.ndim == 3:
+            from sailor_tpu.kernels import sampling as _samp
+
+            cl_q, ct_q = clouds(d[::cloud_stride, ::cloud_stride], params, time)
+            cl = _samp.upsample_bilinear_pow2(cl_q, d.shape[:2])
+            cloud_t = _samp.upsample_bilinear_pow2(
+                ct_q[..., None], d.shape[:2]
+            )[..., 0]
+        else:
+            cl, cloud_t = clouds(d, params, time)
         color = color * cloud_t[..., None] + cl
     color = color + sun_disc(d, params, trans) * cloud_t[..., None]
     if with_stars and star_dirs is not None:

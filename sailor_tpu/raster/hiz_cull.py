@@ -1,0 +1,108 @@
+"""HiZ occlusion culling — consumer of the DepthHighZ min-pyramid.
+
+TPU-native analog of Content/Shaders/ComputeMeshCulling.shader (dispatched
+per batch in RenderSceneNode.cpp:126-140): the reference sphere-tests every
+instance against the hierarchical-Z pyramid on the GPU and compacts the
+survivors' draw args. Here the test runs per RASTER TRIANGLE against the
+PREVIOUS frame's pyramid (the geometry rasters exactly once per frame, so
+there is no current-frame depth to test against — with a static or slowly
+moving camera the previous depth is a conservative occluder set; pixels
+never covered hold reverse-Z 0 and can never cull).
+
+Test: a triangle is occluded iff the NEAREST it gets over its screen AABB
+(max of its reverse-Z plane over the AABB corners — an upper bound of the
+true triangle max, hence conservative) is strictly farther than the
+farthest stored depth over its footprint (min of the HiZ texels covering
+the AABB at the mip where the footprint is <= 2x2 texels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def build_flat_pyramid(mips):
+    """Flatten a list of (Hm, Wm) min-mips into (flat_values, metadata).
+
+    Returns (flat (sum Hm*Wm,), offsets list, shapes list) — static
+    metadata, traced values.
+    """
+    offsets, shapes = [], []
+    off = 0
+    for m in mips:
+        offsets.append(off)
+        shapes.append(m.shape)
+        off += m.shape[0] * m.shape[1]
+    flat = jnp.concatenate([m.reshape(-1) for m in mips])
+    return flat, tuple(offsets), tuple(shapes)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "shapes", "base_w",
+                                             "base_h"))
+def occlusion_cull(
+    valid,            # (R,) candidate mask
+    screen_aabb,      # (xmin, xmax, ymin, ymax) each (R,) in pixels
+    zplane,           # (R, 3) reverse-Z plane A,B,C
+    flat_pyramid,     # flattened min-pyramid values
+    *,
+    offsets: tuple,
+    shapes: tuple,
+    base_w: int,
+    base_h: int,
+):
+    """Returns valid & ~occluded (never culls a visible triangle given a
+    conservative pyramid)."""
+    xmin, xmax, ymin, ymax = screen_aabb
+    xmin_c = jnp.clip(xmin, 0.0, base_w - 1.0)
+    xmax_c = jnp.clip(xmax, 0.0, base_w - 1.0)
+    ymin_c = jnp.clip(ymin, 0.0, base_h - 1.0)
+    ymax_c = jnp.clip(ymax, 0.0, base_h - 1.0)
+
+    # nearest (max) reverse-Z of the plane over the CLAMPED aabb corners
+    def zat(x, y):
+        return zplane[:, 0] * x + zplane[:, 1] * y + zplane[:, 2]
+
+    zmax = jnp.maximum(
+        jnp.maximum(zat(xmin_c, ymin_c), zat(xmax_c, ymin_c)),
+        jnp.maximum(zat(xmin_c, ymax_c), zat(xmax_c, ymax_c)),
+    )
+    zmax = jnp.clip(zmax, 0.0, 1.0)
+
+    # mip where the footprint spans <= 2 texels per axis. mip m texel =
+    # 2^m base pixels (mip list starts at the level-1 half-res map when
+    # built by DepthHighZ; offsets/shapes describe whatever was passed).
+    span = jnp.maximum(xmax_c - xmin_c, ymax_c - ymin_c)
+    occluded = jnp.zeros(valid.shape, bool)
+    matched = jnp.zeros(valid.shape, bool)
+    for level, (off, (hm, wm)) in enumerate(zip(offsets, shapes)):
+        scale_x = wm / base_w
+        scale_y = hm / base_h
+        # texel span of the aabb at this level
+        tx0 = jnp.floor(xmin_c * scale_x).astype(jnp.int32)
+        tx1 = jnp.floor(xmax_c * scale_x).astype(jnp.int32)
+        ty0 = jnp.floor(ymin_c * scale_y).astype(jnp.int32)
+        ty1 = jnp.floor(ymax_c * scale_y).astype(jnp.int32)
+        # Triangles that fit nowhere (huge walls) are simply not tested —
+        # a clamped 2x2 fetch at the coarsest level would UNDER-cover the
+        # footprint and could cull a visible triangle.
+        fits = (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
+        sel = fits & ~matched
+        tx0 = jnp.clip(tx0, 0, wm - 1)
+        tx1 = jnp.clip(tx1, 0, wm - 1)
+        ty0 = jnp.clip(ty0, 0, hm - 1)
+        ty1 = jnp.clip(ty1, 0, hm - 1)
+
+        def fetch(ty, tx):
+            return flat_pyramid[off + ty * wm + tx]
+
+        # min over the (<= 2x2) covering texels
+        hiz_min = jnp.minimum(
+            jnp.minimum(fetch(ty0, tx0), fetch(ty0, tx1)),
+            jnp.minimum(fetch(ty1, tx0), fetch(ty1, tx1)),
+        )
+        occluded = jnp.where(sel, zmax < hiz_min, occluded)
+        matched = matched | sel
+    return valid & ~occluded

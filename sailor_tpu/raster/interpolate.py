@@ -21,10 +21,16 @@ from sailor_tpu.core import math3d as m3
 from sailor_tpu.kernels.pbr import GBuffer
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def pixel_rays(inv_view_projection, camera_position, height: int, width: int):
-    """Per-pixel world-space ray directions (not normalized)."""
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+@functools.partial(jax.jit, static_argnums=(2, 3, 5))
+def pixel_rays(inv_view_projection, camera_position, height: int, width: int,
+               row0=0, full_height: int | None = None):
+    """Per-pixel world-space ray directions (not normalized).
+
+    ``row0``/``full_height``: global viewport mapping for a row slice
+    (multi-chip screen sharding) — local row y maps to (y + row0 + .5)/fh.
+    """
+    fh = full_height if full_height is not None else height
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5 + row0) / fh
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     u, v = jnp.meshgrid(xs, ys, indexing="xy")
     ndc = jnp.stack(
@@ -71,13 +77,15 @@ def pack_triangle_attributes(geometry, src_id):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
 def pixel_rays_strided(inv_view_projection, camera_position, height: int,
-                       width: int, stride: int):
+                       width: int, stride: int, row0=0,
+                       full_height: int | None = None):
     """Rays for every `stride`-th pixel (matches ``x[::stride]`` sampling
     of a full-res grid: positions 0.5, stride+0.5, ... in pixel units)."""
+    fh = full_height if full_height is not None else height
     hq, wq = -(-height // stride), -(-width // stride)
-    ys = (jnp.arange(hq, dtype=jnp.float32) * stride + 0.5) / height
+    ys = (jnp.arange(hq, dtype=jnp.float32) * stride + 0.5 + row0) / fh
     xs = (jnp.arange(wq, dtype=jnp.float32) * stride + 0.5) / width
     u, v = jnp.meshgrid(xs, ys, indexing="xy")
     ndc = jnp.stack(
@@ -88,7 +96,48 @@ def pixel_rays_strided(inv_view_projection, camera_position, height: int,
     return p - camera_position
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnums=(7,))
+def resolve_alpha(
+    geometry,
+    tri_setup,
+    tri_id,            # (H, W) int32 raster-triangle id from a peel layer
+    inv_view_projection,
+    camera_position,
+    materials,
+    row0=0,
+    full_height: int | None = None,
+):
+    """Per-pixel albedo alpha for one visibility layer (Masked queue).
+
+    The alpha-test analog of the reference's `discard` in the Masked
+    fragment pass (RenderSceneNode.cpp tag filter + Standard.shader alpha
+    cutoff): interpolate UV on the winning triangle, sample the material's
+    albedo alpha, and return (alpha (H, W), cutoff (H, W)).
+    """
+    H, W = tri_id.shape
+    rid = jnp.maximum(tri_id, 0)
+    packed = pack_triangle_attributes(geometry, tri_setup.src_id)
+    px = packed[rid]
+    v0, e1, e2 = px[..., 0:3], px[..., 3:6], px[..., 6:9]
+
+    d = pixel_rays(inv_view_projection, camera_position, H, W, row0,
+                   full_height)
+    pvec = jnp.cross(d, e2)
+    det = m3.dot(e1, pvec, keepdims=True)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = camera_position - v0
+    u = jnp.clip(m3.dot(tvec, pvec, keepdims=True) * inv_det, 0.0, 1.0)
+    v = m3.dot(d, jnp.cross(tvec, e1), keepdims=True) * inv_det
+    v = jnp.clip(v, 0.0, 1.0 - u)
+    uv = px[..., 18:20] + px[..., 20:22] * u + px[..., 22:24] * v
+    mat_id = px[..., 36].astype(jnp.int32)
+    albedo, _, _, _ = materials.sample(mat_id, uv)
+    # vertex-color alpha modulates too (color columns 24:28 etc.)
+    ca = px[..., 27] + px[..., 31] * u[..., 0] + px[..., 35] * v[..., 0]
+    return albedo[..., 3] * ca, materials.alpha_cutoff[mat_id]
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
 def resolve_gbuffer(
     geometry,
     tri_setup,
@@ -96,6 +145,8 @@ def resolve_gbuffer(
     inv_view_projection,
     camera_position,
     materials=None,
+    full_height: int | None = None,
+    row0=0,
 ):
     """Build a GBuffer from the visibility buffer (one gather per pixel)."""
     H, W = tri_id.shape
@@ -109,7 +160,8 @@ def resolve_gbuffer(
     e2 = px[..., 6:9]
 
     # Möller–Trumbore barycentrics along the pixel ray.
-    d = pixel_rays(inv_view_projection, camera_position, H, W)
+    d = pixel_rays(inv_view_projection, camera_position, H, W, row0,
+                   full_height)
     pvec = jnp.cross(d, e2)
     det = m3.dot(e1, pvec, keepdims=True)
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)

@@ -117,7 +117,8 @@ def _near_clip(clip_tri):
     return out, valid
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cull"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "cull",
+                                             "clip"))
 def triangle_setup(
     geometry: Geometry,
     view_projection,
@@ -125,6 +126,7 @@ def triangle_setup(
     width: int,
     height: int,
     cull: str = "back",
+    clip: bool = True,
 ):
     """Project triangles to screen space and build raster coefficients.
 
@@ -135,13 +137,21 @@ def triangle_setup(
     ``src_id`` maps each raster triangle back to its source triangle for
     attribute interpolation.
     """
-    clip = m3.transform_point_h(view_projection, geometry.position)  # (V, 4)
+    clip_pos = m3.transform_point_h(view_projection, geometry.position)  # (V, 4)
     tri = geometry.indices  # (T, 3)
-    clip_tri = clip[tri]    # (T, 3, 4)
-    clipped, clip_valid = _near_clip(clip_tri)  # (T, 2, 3, 4), (T, 2)
-    t2 = clipped.reshape(-1, 3, 4)              # (2T, 3, 4)
-    src_id = jnp.repeat(jnp.arange(tri.shape[0], dtype=jnp.int32), 2)
-    tw_ok = clip_valid.reshape(-1)
+    clip_tri = clip_pos[tri]    # (T, 3, 4)
+    if clip:
+        clipped, clip_valid = _near_clip(clip_tri)  # (T, 2, 3, 4), (T, 2)
+        t2 = clipped.reshape(-1, 3, 4)              # (2T, 3, 4)
+        src_id = jnp.repeat(jnp.arange(tri.shape[0], dtype=jnp.int32), 2)
+        tw_ok = clip_valid.reshape(-1)
+    else:
+        # Orthographic projections (shadow cascades) have w == 1 for every
+        # vertex — skip the near clipper entirely: T slots instead of 2T
+        # and none of the rotate/lerp work (it was ~1/3 of ShadowPrepass).
+        t2 = clip_tri
+        src_id = jnp.arange(tri.shape[0], dtype=jnp.int32)
+        tw_ok = jnp.all(clip_tri[..., 3] > _EPS_W, axis=-1)
 
     w = t2[..., 3]
     inv_w = jnp.where(w > 1e-12, 1.0 / w, 0.0)
@@ -226,6 +236,18 @@ def triangle_setup(
         valid=valid,
         src_id=src_id,
     ), (xmin, xmax, ymin, ymax)
+
+
+def shift_viewport_rows(tri: "TriangleSetup", row0):
+    """Re-express a TriangleSetup in the local coordinates of a viewport
+    slice starting at global row ``row0``: with y_global = y_local + row0,
+    E_local(x, y') = E_global(x, y' + row0), so only the constant terms
+    change (C += B * row0) — per-shard viewports are free (multi-chip
+    screen sharding, parallel/mesh.py)."""
+    off = jnp.asarray(row0, jnp.float32)
+    edge = tri.edge.at[..., 2].add(tri.edge[..., 1] * off)
+    zplane = tri.zplane.at[..., 2].add(tri.zplane[..., 1] * off)
+    return tri.replace(edge=edge, zplane=zplane)
 
 
 @functools.partial(

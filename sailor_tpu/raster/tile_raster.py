@@ -33,15 +33,23 @@ TILE_W = 128
 CHUNK = 32  # triangles processed per inner iteration
 
 
-def _raster_kernel(count_ref, edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref):
+def _raster_kernel(count_ref, setup_ref, ids_ref, depth_ref, tid_ref,
+                   *, zlo_ref=None, zhi_ref=None):
     """One program = one screen tile.
 
     count_ref:  (Tiles,) scalar-prefetch SMEM — live candidate count per
                 tile; the chunk loop runs ceil(count/CHUNK) iterations, so
                 near-empty tiles (the common case) cost almost nothing.
-    edge_ref:   (C, 9)  gathered edge coeffs (3 edges x A,B,C)
-    zplane_ref: (C, 3)  depth plane coeffs
+    setup_ref:  (C, 12) packed per-candidate setup: edge coeffs (3 edges x
+                A,B,C) then the depth plane (A,B,C) — ONE gather feeds the
+                kernel (two separate edge/zplane gathers cost ~9+3 ms per
+                pass at 1080p; gather cost is row count, not width).
     ids_ref:    (C, 1)  global triangle ids, -1 padding
+    zlo/zhi_ref: optional (TILE_H, TILE_W) per-pixel reverse-Z bounds —
+                accept only zlo < z < zhi. Drives depth peeling for the
+                Masked/Transparent render queues (RenderSceneNode.cpp
+                tag-filtered passes): zlo = the opaque depth underneath,
+                zhi = the previous peel layer.
     depth_ref:  (TILE_H, TILE_W) out, reverse-Z (0 = far/clear)
     tid_ref:    (TILE_H, TILE_W) out, int32 winning triangle id (-1 = none)
     """
@@ -61,8 +69,9 @@ def _raster_kernel(count_ref, edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref)
     def body(k, carry):
         best_z, best_id = carry
         sl = pl.ds(k * CHUNK, CHUNK)
-        e = edge_ref[sl, :]      # (CHUNK, 9)
-        zp = zplane_ref[sl, :]   # (CHUNK, 3)
+        s = setup_ref[sl, :]     # (CHUNK, 12)
+        e = s[:, 0:9]            # edge coeffs
+        zp = s[:, 9:12]          # depth plane
         ids = ids_ref[sl, 0]     # (CHUNK,)
 
         exp_px = px[None]  # (1, TILE_H, TILE_W)
@@ -88,7 +97,10 @@ def _raster_kernel(count_ref, edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref)
         live = (ids >= 0)[:, None, None]
         # Reverse-Z: nearer = larger. Also require z in (0, 1] to respect
         # the near plane (z > 1 would be in front of near).
-        zm = jnp.where(inside & live & (z > 0.0) & (z <= 1.0), z, -1.0)
+        ok = inside & live & (z > 0.0) & (z <= 1.0)
+        if zlo_ref is not None:
+            ok &= (z > zlo_ref[...][None]) & (z < zhi_ref[...][None])
+        zm = jnp.where(ok, z, -1.0)
         k_z = jnp.max(zm, axis=0)
         # winner id without a gather (Mosaic-friendly): masked max over the
         # chunk of ids where the depth equals the chunk max.
@@ -109,20 +121,25 @@ def _raster_kernel(count_ref, edge_ref, zplane_ref, ids_ref, depth_ref, tid_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x"))
-def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None):
+def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
+                    z_bounds=None):
     """Run the visibility raster over all tiles.
 
     ``setup``: TriangleSetup; ``bins``: (Ty, Tx, C) candidate ids;
     ``counts``: optional (Ty, Tx) live candidate counts (computed from the
     bins when omitted) — drives per-tile early exit.
+    ``z_bounds``: optional (zlo (H, W), zhi (H, W)) reverse-Z exclusive
+    bounds for depth peeling (Masked alpha-test layers / Transparent
+    back-to-front layers).
     Returns (depth (H, W) reverse-Z with 0 = far, tri_id (H, W) int32).
     """
     c = bins.shape[-1]
     assert c % CHUNK == 0, "bin capacity must be a CHUNK multiple"
     safe = jnp.maximum(bins, 0)
     # Fold (Ty, Tx) into rows: per-tile data as (Ty*Tx*C, k) row blocks.
-    edge = setup.edge.reshape(-1, 9)[safe].reshape(-1, 9)
-    zplane = setup.zplane[safe].reshape(-1, 3)
+    # Pack edge+zplane so the per-candidate fetch is ONE gather.
+    table = jnp.concatenate([setup.edge.reshape(-1, 9), setup.zplane], axis=1)
+    rows = table[safe].reshape(-1, 12)
     ids = bins.reshape(-1, 1)
     if counts is None:
         counts = jnp.sum(bins >= 0, axis=-1, dtype=jnp.int32)
@@ -131,25 +148,51 @@ def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None):
     def row_map(i, j, s):
         return (i * tiles_x + j, 0)
 
+    def pix_map(i, j, s):
+        return (i, j)
+
+    in_specs = [
+        pl.BlockSpec((c, 12), row_map),
+        pl.BlockSpec((c, 1), row_map),
+    ]
+    inputs = [counts, rows, ids]
+    kernel = _raster_kernel
+    if z_bounds is not None:
+        H, W = tiles_y * TILE_H, tiles_x * TILE_W
+        zlo, zhi = z_bounds
+        # pad to the raster grid if callers pass viewport-sized maps
+        if zlo.shape != (H, W):
+            ph, pw = H - zlo.shape[0], W - zlo.shape[1]
+            zlo = jnp.pad(zlo, ((0, ph), (0, pw)))
+            zhi = jnp.pad(zhi, ((0, ph), (0, pw)), constant_values=2.0)
+        in_specs += [
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+        ]
+        inputs += [zlo, zhi]
+
+        def kernel(count_ref, setup_ref, ids_ref, zlo_ref, zhi_ref,
+                   depth_ref, tid_ref):
+            return _raster_kernel(
+                count_ref, setup_ref, ids_ref, depth_ref, tid_ref,
+                zlo_ref=zlo_ref, zhi_ref=zhi_ref,
+            )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles_y, tiles_x),
-        in_specs=[
-            pl.BlockSpec((c, 9), row_map),
-            pl.BlockSpec((c, 3), row_map),
-            pl.BlockSpec((c, 1), row_map),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, s: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, s: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
         ),
     )
     depth, tid = common.pallas_call(
-        _raster_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
             jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32),
         ),
-    )(counts, edge, zplane, ids)
+    )(*inputs)
     return depth, tid

@@ -222,7 +222,13 @@ def test_pallas_shading_matches_jnp():
         gb, lights, idx, cam, shadow_factors=shadow,
         ibl_ambient=jnp.zeros((h, w, 3)),
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+    # The Pallas kernel uses approx reciprocals (pl.reciprocal approx=True)
+    # for light falloff/G-term denominators — ~2^-8 relative in interpret
+    # mode (coarser than the TPU hardware estimate). 2% relative on HDR
+    # radiance is far below tonemapped visibility.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-3, rtol=2e-2
+    )
 
 
 def test_cull_overflow_keeps_nearest_lights():

@@ -67,6 +67,48 @@ def test_brdf_lut_ranges():
     assert lut[2, -1, 0] > lut[30, -1, 0] - 0.3
 
 
+def test_ambient_ibl_packed_matches_list_path():
+    """Packed-mip + analytic-BRDF ambient must track the list-of-mips +
+    LUT path (same prefiltered data, analytic BRDF within ~0.03)."""
+    rng = np.random.default_rng(3)
+    cube = jnp.asarray(rng.uniform(0.1, 1.0, (6, 16, 16, 3)).astype(np.float32))
+    mips = ibl.prefiltered_env_mips(cube, num_mips=3, samples=32)
+    lut = ibl.brdf_lut(resolution=32, samples=128)
+    stack = jnp.stack([cm.upsample_cubemap(mi, 16) for mi in mips])
+    h = w = 16
+    n = m3.normalize(jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)))
+    v = m3.normalize(jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)))
+    args = (
+        jnp.asarray(rng.uniform(0, 1, (h, w, 4)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.05, 1, (h, w)).astype(np.float32)),
+        jnp.ones((h, w)),
+        n, v,
+    )
+    # reference list path over the SAME (upsampled) mip data — remaining
+    # differences are the analytic env BRDF vs the (noisy 32x128-sample)
+    # Monte-Carlo LUT, largest at grazing angles; structure bugs (wrong
+    # face/lod indexing) would blow past these bounds everywhere
+    mips_up = [stack[i] for i in range(stack.shape[0])]
+    ref = np.asarray(ibl.ambient_ibl(*args, cube, mips_up, lut))
+    got = np.asarray(ibl.ambient_ibl_packed(*args, cube, stack))
+    assert np.abs(got - ref).max() < 0.25, np.abs(got - ref).max()
+    # random normals/views put ~half the pixels at grazing/backfacing
+    # angles where both the approximation and the MC LUT are worst
+    assert np.abs(got - ref).mean() < 0.04, np.abs(got - ref).mean()
+
+    # exactness guard: at integer lods the packed sampler must reproduce
+    # sample_cubemap on that level bit-for-bit
+    import jax.numpy as _jnp
+
+    d = m3.normalize(jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32)))
+    for k in range(stack.shape[0]):
+        a = np.asarray(cm.sample_cubemap_lod_stack(
+            stack, d, _jnp.full((64,), float(k))))
+        b = np.asarray(cm.sample_cubemap(stack[k], d))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_ambient_ibl_shapes():
     cube = jnp.ones((6, 16, 16, 3)) * 0.5
     mips = ibl.prefiltered_env_mips(cube, num_mips=3, samples=16)

@@ -1,0 +1,112 @@
+"""Sharded FULL frame graph == single-device frame graph.
+
+The VERDICT-grade multi-chip bar: FrameGraph.process_sharded runs the
+flagship pipeline (visibility raster, masked queue, light culling, CSM/EVSM
+shadows, sky+clouds, IBL, HBAO + blurs, Forward+ shading, motion blur,
+bloom, histogram exposure, tonemap) over an 8-device screen-row mesh and
+must reproduce the single-device render to float tolerance — collectives
+(psum/all_gather/ppermute halos) make every cross-slice pass exact.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+from sailor_tpu.parallel.mesh import make_mesh
+
+import test_framegraph as tf
+import test_render_queues as rq
+
+W, H = 128, 256  # 8 shards x 32-px tile row
+
+_CONFIG = {
+    "z_far": 100.0, "shadow_resolution": 128, "env_resolution": 16,
+    "bin_capacity": 256, "bin_rounds": 2, "sky_clouds": True,
+    "cloud_stride": 2,
+}
+
+
+def _full_asset():
+    return FrameGraphAsset.load("content/DefaultRenderer.renderer")
+
+
+def _scene():
+    scene = tf._scene_view()
+    # widen to this test's aspect
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.rhi.types import FrameData
+
+    cam = jnp.asarray([5.0, 3.0, 7.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.5, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, W / H, 0.1, 100.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 100.0, time=0.0, dt=1 / 60)
+    return scene.replace(frame=frame, prev_frame=frame)
+
+
+def test_sharded_full_graph_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest forces an 8-device CPU mesh"
+    scene = _scene()
+
+    fg1 = FrameGraph(_full_asset(), W, H, config=dict(_CONFIG))
+    state = fg1.initial_state()
+    fg1.prepare(scene, state)
+    t_single, state_single = fg1.process(scene, state)
+
+    fg8 = FrameGraph(_full_asset(), W, H, config=dict(_CONFIG))
+    state8 = fg8.initial_state()
+    fg8.prepare(scene, state8)
+    mesh = make_mesh(8)
+    t_shard, state_shard = fg8.process_sharded(scene, state8, mesh)
+
+    main_1 = np.asarray(t_single["Main"])
+    main_8 = np.asarray(t_shard["Main"])
+    assert main_8.shape == main_1.shape
+    np.testing.assert_allclose(main_8, main_1, atol=1e-5, rtol=1e-5)
+
+    final_1 = np.asarray(t_single["Final"])
+    final_8 = np.asarray(t_shard["Final"])
+    np.testing.assert_allclose(final_8, final_1, atol=1e-5)
+
+    np.testing.assert_allclose(
+        float(state_shard["avg_luminance"]),
+        float(state_single["avg_luminance"]), rtol=1e-5,
+    )
+
+
+def test_sharded_graph_with_render_queues():
+    """Masked + transparent queues also shard exactly (peel z-bounds and
+    alpha resolves are per-slice local)."""
+    tex = np.ones((8, 8, 4), np.float32)
+    tex[::2, :, 3] = 0.0
+    scene = rq._quad_scene(rq._mat_table(1, alpha_tex=tex))
+    # resize to this test's viewport
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.rhi.types import FrameData
+
+    cam = jnp.asarray([0.0, 2.0, 8.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 2.0, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, W / H, 0.1, 100.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 100.0, time=0.0, dt=1 / 60)
+    scene = scene.replace(frame=frame, prev_frame=frame)
+
+    asset = FrameGraphAsset.from_yaml(
+        "frame:\n - name: DepthPrepass\n - name: LinearizeDepth\n"
+        " - name: LightCulling\n - name: RenderScene\n"
+        " - name: RenderTransparent\n - name: EyeAdaptation\n"
+    )
+    cfg = {"bin_capacity": 256, "bin_rounds": 2}
+    fg1 = FrameGraph(asset, W, H, config=dict(cfg))
+    s1 = fg1.initial_state()
+    fg1.prepare(scene, s1)
+    t1, _ = fg1.process(scene, s1)
+
+    fg8 = FrameGraph(asset, W, H, config=dict(cfg))
+    s8 = fg8.initial_state()
+    fg8.prepare(scene, s8)
+    t8, _ = fg8.process_sharded(scene, s8, make_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(t8["Main"]), np.asarray(t1["Main"]), atol=1e-5, rtol=1e-5
+    )

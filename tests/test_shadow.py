@@ -92,6 +92,37 @@ def test_shadow_factor_cube_on_plane():
     assert f[1] > 0.8, f  # open ground: lit
 
 
+def test_csm_evsm_all_cascades_matches_pcf_verdict():
+    """The all-cascade EVSM path (one gather) must agree with PCF on the
+    clear shadowed/lit cases (cube shadow on a ground plane)."""
+    geo = _scene()
+    ld = m3.normalize(jnp.asarray([0.01, -1.0, 0.01]))
+    view = m3.look_at(
+        jnp.asarray([0.0, 6.0, 10.0]), jnp.asarray([0.0, 0.0, 0.0]),
+        jnp.asarray([0.0, 1.0, 0.0]),
+    )
+    proj = m3.perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+    mats = shadow.cascade_matrices(view, proj, ld, 0.1, 50.0)
+    S = 256
+    smaps = []
+    for c in range(config.NUM_CSM_CASCADES):
+        _, depth, _, _ = rasterize(
+            geo, mats[c], width=S, height=S, capacity=512, rounds=2, cull="none"
+        )
+        smaps.append(depth)
+    smaps = jnp.stack(smaps)
+    moments = shadow.evsm_warp(smaps)
+    moments = blur.blur_1d(blur.blur_1d(moments, 3, 1), 3, 2)
+
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [6.0, 0.0, 6.0]])[None]
+    normals = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (1, 2, 3))
+    f = np.asarray(shadow.csm_shadow_factor_evsm(
+        pts, normals, view, ld, mats, moments, z_far=50.0
+    ))[0]
+    assert f[0] < 0.3, f  # under the cube: shadowed
+    assert f[1] > 0.8, f  # open ground: lit
+
+
 def test_evsm_factor_synthetic():
     # light looks down -z over [-1,1]^2, depth range [0,2] (reverse-Z)
     light_mat = m3.ortho(-1, 1, -1, 1, 0.0, 2.0, reverse_z=True)

@@ -49,6 +49,8 @@ def load_events(trace_dir: str):
             "name": e.get("name", ""),
             "dur_us": e.get("dur", 0),
             "long_name": args.get("long_name", args.get("hlo_op", "")),
+            "tf_op": args.get("tf_op", ""),
+            "source": args.get("source", ""),
             "pid": e.get("pid"),
         })
     return out, names
@@ -75,8 +77,13 @@ def main():
     agg = collections.defaultdict(lambda: [0, 0])  # key -> [usec, count]
     for e in events:
         if args.scopes:
-            m = _SCOPE_RE.search(e["long_name"] or "") or _SCOPE_RE.search(e["name"])
+            m = _SCOPE_RE.search(e["tf_op"] or "") or _SCOPE_RE.search(
+                e["long_name"] or "") or _SCOPE_RE.search(e["name"])
             key = m.group(1) if m else "(unattributed)"
+            if m and args.group:
+                # finer: node scope + source file:line
+                src = (e["source"] or "?").rsplit("/", 1)[-1]
+                key = f"{key} {src}"
         elif args.group:
             key = re.sub(r"[.\d]+$", "", e["name"])
         else:
