@@ -169,9 +169,22 @@ class GLTF:
             "queue": np.zeros(n, np.int32),
             "alpha_cutoff": np.full(n, 0.5, np.float32),
             "opacity": np.ones(n, np.float32),
+            # transmission/volume extensions (KHR_materials_transmission,
+            # _ior, _volume) — consumed by the path tracer's BTDF path
+            "transmission": np.zeros(n, np.float32),
+            "ior": np.full(n, 1.5, np.float32),
+            "atten_color": np.ones((n, 3), np.float32),
+            "atten_dist": np.zeros(n, np.float32),
         }
         alpha_modes = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}
         for i, m in enumerate(mats):
+            ext = m.get("extensions", {}) or {}
+            tr = ext.get("KHR_materials_transmission", {})
+            table["transmission"][i] = tr.get("transmissionFactor", 0.0)
+            table["ior"][i] = ext.get("KHR_materials_ior", {}).get("ior", 1.5)
+            vol = ext.get("KHR_materials_volume", {})
+            table["atten_color"][i] = vol.get("attenuationColor", [1, 1, 1])
+            table["atten_dist"][i] = vol.get("attenuationDistance", 0.0)
             pbr = m.get("pbrMetallicRoughness", {})
             base = pbr.get("baseColorFactor", [1, 1, 1, 1])
             table["albedo"][i] = base[:3]

@@ -21,8 +21,13 @@ class LightingSystem(System):
     order = 150
     name = "Lighting"
 
-    def __init__(self, world=None, capacity: int = 1024):
+    # reference budget: 65,535 GPU light slots (LightingECS.h:53); the host
+    # pool starts smaller and grows geometrically to that scale on demand
+    MAX_LIGHTS = 65535
+
+    def __init__(self, world=None, capacity: int = 4096):
         super().__init__(world)
+        self.version = 0  # bumped on add/remove/edit: snapshot cache key
         self.pool = ComponentPool(
             {
                 "transform": ((), np.int32, -1),
@@ -41,6 +46,8 @@ class LightingSystem(System):
     def add(self, transform: int, type: int = 1, intensity=(1, 1, 1),
             attenuation=(1, 0, 1), direction=(0, -1, 0), cutoff=(0.9, 0.7),
             radius: float = 10.0, shadow_type: int = 0) -> int:
+        if self.pool.num_alive >= self.MAX_LIGHTS:
+            raise RuntimeError(f"light budget exceeded ({self.MAX_LIGHTS})")
         h = self.pool.acquire()
         self.pool.transform[h] = transform
         self.pool.type[h] = type
@@ -50,12 +57,26 @@ class LightingSystem(System):
         self.pool.cutoff[h] = cutoff
         self.pool.radius[h] = radius
         self.pool.shadow_type[h] = shadow_type
+        self.version += 1
         return h
 
+    def remove(self, h: int) -> None:
+        self.pool.release(h)
+        self.version += 1
+
+    _snapshot_key = None
+
     def tick(self, dt: float) -> None:
+        # Dirty-range analog (LightingECS.cpp:78-197 batched SSBO uploads):
+        # the device table rebuilds only when lights or transforms changed.
+        tsys0 = self.world.system("Transform") if self.world else None
+        key = (self.version, tsys0.version if tsys0 is not None else -1)
+        if self.snapshot is not None and key == self._snapshot_key:
+            return
+        self._snapshot_key = key
         alive = np.nonzero(self.pool.alive)[0]
         n = len(alive)
-        tsys = self.world.system("Transform") if self.world else None
+        tsys = tsys0
         if n and tsys is not None and tsys.world_matrices is not None:
             wm = np.asarray(tsys.world_matrices)
             tidx = self.pool.transform[alive]

@@ -59,6 +59,10 @@ class TransformSystem(System):
         )
         self.world_matrices = None  # device (N, 4, 4) after tick
         self._depth = 1
+        # change counter: downstream systems (lighting snapshot cache,
+        # static-mesh re-transform) compare against it instead of scanning
+        # matrices (the reference's dirty-flag analog, TransformECS.cpp)
+        self.version = 0
 
     # -- component API (TransformComponent parity) --------------------------
 
@@ -69,19 +73,24 @@ class TransformSystem(System):
         self.pool.rotation[h] = rotation
         self.pool.scale[h] = scale
         self.pool.parent[h] = parent
+        self.version += 1
         return h
 
     def set_position(self, h: int, p) -> None:
         self.pool.position[h] = p
+        self.version += 1
 
     def set_rotation(self, h: int, q) -> None:
         self.pool.rotation[h] = q
+        self.version += 1
 
     def set_scale(self, h: int, s) -> None:
         self.pool.scale[h] = s
+        self.version += 1
 
     def set_parent(self, h: int, parent: int) -> None:
         self.pool.parent[h] = parent
+        self.version += 1
 
     def hierarchy_depth(self) -> int:
         parent = self.pool.parent
@@ -94,7 +103,12 @@ class TransformSystem(System):
             seen += 1
         return depth
 
+    _computed_version = -1
+
     def tick(self, dt: float) -> None:
+        if (self.world_matrices is not None
+                and self._computed_version == self.version):
+            return  # nothing moved since the last recompute
         self._depth = self.hierarchy_depth()
         self.world_matrices = compute_world_matrices(
             jnp.asarray(self.pool.position),
@@ -103,6 +117,7 @@ class TransformSystem(System):
             jnp.asarray(self.pool.parent),
             levels=self._depth,
         )
+        self._computed_version = self.version
 
     def world_matrix(self, h: int):
         return self.world_matrices[h]

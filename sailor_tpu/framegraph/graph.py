@@ -226,7 +226,8 @@ class FrameGraph:
 
     # -- multi-chip execution ------------------------------------------------
 
-    def process_sharded(self, scene, state: dict, mesh, axis: str = "screen"):
+    def process_sharded(self, scene, state: dict, mesh, axis: str = "screen",
+                        extra_outputs: tuple = ()):
         """Run the FULL node pipeline screen-row-sharded over a device mesh.
 
         Each chip executes every node on its row slice (local viewport via
@@ -247,7 +248,7 @@ class FrameGraph:
                 f"across {n} shards"
             )
         h_local = self.height // n
-        key = (n, axis)
+        key = (n, axis, tuple(extra_outputs))
         if self._jitted_sharded.get(key) is None:
             local_targets = RenderTargets(self.width, h_local)
             for spec in self.asset.targets:
@@ -274,6 +275,10 @@ class FrameGraph:
                         targets["Main"], axis, axis=0, tiled=True
                     ),
                 }
+                for name in extra_outputs:  # debugging/inspection
+                    out[name] = jax.lax.all_gather(
+                        targets[name], axis, axis=0, tiled=True
+                    )
                 new_state = dict(state)
                 st = targets.get("state_out", {})
                 if "avg_luminance" in st:
@@ -352,6 +357,18 @@ class FrameGraph:
         import jax.numpy as jnp
 
         state = {"avg_luminance": jnp.asarray(0.18, jnp.float32)}
+        if self.config.get("csm_cache", True) and any(
+            n.node_name == "ShadowPrepass" for n in self.nodes
+        ):
+            from sailor_tpu import config as _cfg
+
+            s = int(self.config.get("shadow_resolution", 1024))
+            c = _cfg.NUM_CSM_CASCADES
+            state["csm/maps"] = jnp.zeros((c, s, s), jnp.float32)
+            state["csm/evsm"] = jnp.zeros((c, s, s, 4), jnp.float32)
+            # sentinel forces the first frame dirty (|key - (-1e30)| > 0;
+            # never use inf: inf - inf = nan and nan > 0 is False)
+            state["csm/key"] = jnp.full((c * 16 + 1,), -1e30, jnp.float32)
         if self.config.get("hiz_culling", False):
             # seed the HiZ culling pyramid with zeros (reverse-Z 0 = "no
             # occluder", culls nothing) so the jit signature is stable

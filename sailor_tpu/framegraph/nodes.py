@@ -249,17 +249,47 @@ class ShadowPrepassNode(BaseNode):
                 d = d_r if d is None else jnp.maximum(d, d_r)
             return d[:s, :s]
 
-        targets["ShadowMaps"] = jnp.stack(
-            [one_cascade(mats[c]) for c in range(cfg.NUM_CSM_CASCADES)]
-        )
-        targets["LightMatrices"] = mats
         radius = int(ctx.value("Shadow.EvsmBlurRadius", 4))
-        # EVSM moments for EVERY cascade (the reference blurs cascade 0
-        # only and PCFs the rest; all-EVSM turns the per-pixel shadow
-        # factor into ONE gather — see csm_shadow_factor_evsm). The blur
-        # is separable pad+slice traffic, cheap on the prepass side.
-        moments = shadow_k.evsm_warp(targets["ShadowMaps"])  # (C, S, S, 4)
-        moments = blur_k.blur_1d(blur_k.blur_1d(moments, radius, 1), radius, 2)
+
+        def render_all(_):
+            maps = jnp.stack(
+                [one_cascade(mats[c]) for c in range(cfg.NUM_CSM_CASCADES)]
+            )
+            # EVSM moments for EVERY cascade (the reference blurs cascade 0
+            # only and PCFs the rest; all-EVSM turns the per-pixel shadow
+            # factor into ONE gather — see csm_shadow_factor_evsm). The
+            # blur is separable pad+slice traffic, cheap on this side.
+            mom = shadow_k.evsm_warp(maps)  # (C, S, S, 4)
+            mom = blur_k.blur_1d(blur_k.blur_1d(mom, radius, 1), radius, 2)
+            return maps, mom
+
+        state = ctx.state or {}
+        if ctx.config.get("csm_cache", True) and "csm/maps" in state:
+            # Change-snapshot caching (LightingECS.cpp:262-371 CSMLightState
+            # ::Equals): when the cascade matrices AND the geometry are
+            # unchanged since last frame, reuse the cached maps — a static
+            # camera skips the entire 4-cascade raster (~25 ms at 1024^2).
+            geo_sig = jnp.sum(scene.geometry.position * 0.37331) + jnp.float32(
+                scene.geometry.indices.shape[0]
+            )
+            key = jnp.concatenate([mats.reshape(-1), geo_sig[None]])
+            prev_key = state["csm/key"]
+            dirty = jnp.any(jnp.abs(key - prev_key) > 0.0)
+            maps, moments = jax.lax.cond(
+                dirty,
+                render_all,
+                lambda _: (state["csm/maps"], state["csm/evsm"]),
+                operand=None,
+            )
+            out = targets.setdefault("state_out", {})
+            out["csm/maps"] = maps
+            out["csm/evsm"] = moments
+            out["csm/key"] = key
+        else:
+            maps, moments = render_all(None)
+
+        targets["ShadowMaps"] = maps
+        targets["LightMatrices"] = mats
         targets["EvsmMaps"] = moments
         targets["EvsmMap"] = moments[0]
         return targets
@@ -415,6 +445,17 @@ class PostProcessNode(BaseNode):
                 num_samples=4,
                 row0=ctx.row0, full_height=ctx.full_height,
                 quarter_full=quarter_full,
+                axis_name=ctx.mesh_axis, n_shards=ctx.mesh_size,
+            )
+        elif shader == "SunShafts":
+            targets["Main"] = pp.sun_shafts(
+                targets["Main"], targets["Depth"],
+                ctx.scene.frame.view_projection,
+                ctx.scene.sky.sun_direction,
+                ctx.scene.sky.sun_intensity * jnp.asarray([1.0, 0.9, 0.75]),
+                intensity=float(ctx.value("SunShafts.Intensity", 0.45)),
+                num_samples=int(ctx.value("SunShafts.Distance", 24)),
+                row0=ctx.row0, full_height=ctx.full_height,
                 axis_name=ctx.mesh_axis, n_shards=ctx.mesh_size,
             )
         elif shader == "ChromaticAberration":
@@ -628,6 +669,10 @@ class BloomNode(BaseNode):
             knee=float(ctx.value("Bloom.Knee", 0.5)),
             intensity=float(ctx.value("Bloom.Intensity", 0.35)),
         )
+        dirt_i = float(ctx.value("Bloom.DirtIntensity", 0.0))
+        if dirt_i > 0.0:
+            kw["dirt"] = bloom_k.lens_dirt(ctx.fh, ctx.width)
+            kw["dirt_intensity"] = dirt_i
         if ctx.sharded:
             # bloom's mip chain spans the whole frame: all_gather the HDR
             # rows (replicated compute — the frame is small next to ICI

@@ -12,7 +12,39 @@ shapes (unrolled into the jitted graph).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=4)
+def lens_dirt(height: int, width: int, seed: int = 7):
+    """Procedural lens-dirt texture (BloomNode.cpp:20-70 loads one from
+    disk; we bake an equivalent: soft smudge blobs + bokeh rings). Cached
+    per resolution; becomes a jit constant."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    d = np.zeros((height, width), np.float32)
+    diag = float(np.hypot(height, width))
+    for _ in range(60):  # smudges
+        cy, cx = rng.uniform(0, height), rng.uniform(0, width)
+        r = rng.uniform(0.01, 0.05) * diag
+        a = rng.uniform(0.1, 0.5)
+        d += a * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r)))
+    for _ in range(14):  # bokeh rings
+        cy, cx = rng.uniform(0, height), rng.uniform(0, width)
+        r0 = rng.uniform(0.02, 0.08) * diag
+        t = rng.uniform(0.08, 0.25) * r0
+        a = rng.uniform(0.2, 0.7)
+        rr = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        d += a * np.exp(-((rr - r0) ** 2) / (2 * t * t))
+    d = d / max(d.max(), 1e-6)
+    # return NUMPY: this function runs (and caches) under jit tracing —
+    # caching any jax array here leaks a tracer across traces; callers
+    # consume the numpy constant fresh per trace
+    return (d[..., None] ** 1.5).astype(np.float32)
 
 
 def _luma(rgb):

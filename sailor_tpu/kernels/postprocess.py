@@ -257,6 +257,80 @@ def motion_blur(
     return (color + acc) / num_samples
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_samples", "full_height", "axis_name", "n_shards"),
+)
+def sun_shafts(
+    color,
+    depth_rev,
+    view_projection,
+    sun_direction,
+    sun_intensity,
+    *,
+    intensity: float = 0.45,
+    num_samples: int = 24,
+    row0=0,
+    full_height: int | None = None,
+    axis_name: str | None = None,
+    n_shards: int = 1,
+):
+    """Screen-space god rays (SunShafts.shader, SkyNode.h:66-67).
+
+    The reference radially blurs the cloud/sky buffer toward the sun's
+    screen position (60 taps full-res); here the light-source mask is the
+    sky-visibility buffer (background pixels) at QUARTER res and the blur
+    takes ``num_samples`` taps — gathers are row-count bound so the small
+    mask makes the whole pass ~1 ms at 1080p.
+    """
+    h, w = color.shape[:2]
+    fh = full_height if full_height is not None else h
+
+    # sun position on screen (direction TO the sun, w=0 projection)
+    to_sun = -sun_direction
+    clip = view_projection[:3, :3] @ to_sun
+    wclip = view_projection[3, :3] @ to_sun
+    behind = wclip <= 1e-4
+    ndc = clip[:2] / jnp.where(behind, 1.0, wclip)
+    uv_sun = jnp.stack([ndc[0] * 0.5 + 0.5, 0.5 - ndc[1] * 0.5])
+    # fade out as the sun leaves the screen (reference border 0.51)
+    border = 0.51
+    off = jnp.maximum(
+        jnp.maximum(uv_sun - 1.0, -uv_sun), 0.0
+    ).max()
+    fade = jnp.where(behind, 0.0, jnp.clip(1.0 - off / border, 0.0, 1.0))
+
+    # quarter-res sky-visibility mask (1 = background/sky)
+    q = 4
+    he, we = (h // q) * q, (w // q) * q
+    sky = (depth_rev[:he, :we] <= 0.0).astype(jnp.float32)
+    mask = sky.reshape(he // q, q, we // q, q).mean(axis=(1, 3))
+    if axis_name is not None:
+        mask = jax.lax.all_gather(mask, axis_name, axis=0, tiled=True)
+
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5 + row0) / fh
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")
+    uv0 = jnp.stack([u, v], -1)[: he : q, : we : q]
+
+    acc = jnp.zeros(uv0.shape[:2])
+    decay = 1.0
+    for s in range(num_samples):
+        t = (s + 0.5) / num_samples
+        uvk = uv0 + (uv_sun - uv0) * t
+        acc = acc + sampling.sample_nearest(mask[..., None], uvk)[..., 0] * decay
+        decay *= 0.95
+    shaft_q = acc / num_samples
+    if axis_name is not None:
+        shaft = sampling.upsample_bilinear_pow2_sharded(
+            shaft_q[..., None], (h, w), axis_name, n_shards
+        )[..., 0]
+    else:
+        shaft = sampling.upsample_bilinear_pow2(shaft_q[..., None], (h, w))[..., 0]
+    glow = (shaft * fade * intensity)[..., None] * sun_intensity
+    return color + glow
+
+
 def chromatic_aberration(color, strength: float = 0.003):
     """Radial RGB split (ChromaticAberation.shader)."""
     h, w = color.shape[:2]

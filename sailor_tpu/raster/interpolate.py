@@ -21,6 +21,28 @@ from sailor_tpu.core import math3d as m3
 from sailor_tpu.kernels.pbr import GBuffer
 
 
+def _unproject_rays(inv_vp, camera_position, u, v):
+    """Unproject NDC (u up-is-flipped-later) with FIXED-ORDER arithmetic.
+
+    einsum/dot lowering for the tiny 4-contraction is fusion-context
+    dependent (different shapes -> different reduction order -> ~1e-7 ray
+    noise); the sky's FBM clouds amplify that by ~1e4, which broke the
+    sharded == single-device bit-match. Explicit ((a+b)+(c+d)) ordering is
+    stable elementwise code in every context.
+    """
+    ndc_x = u * 2.0 - 1.0
+    ndc_y = 1.0 - v * 2.0
+    m = inv_vp
+
+    def mv(r):
+        return (m[r, 0] * ndc_x + m[r, 1] * ndc_y) + (m[r, 2] * 0.5 + m[r, 3])
+
+    px, py, pz, pw = mv(0), mv(1), mv(2), mv(3)
+    inv_w = 1.0 / pw
+    p = jnp.stack([px * inv_w, py * inv_w, pz * inv_w], axis=-1)
+    return p - camera_position
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 5))
 def pixel_rays(inv_view_projection, camera_position, height: int, width: int,
                row0=0, full_height: int | None = None):
@@ -33,12 +55,7 @@ def pixel_rays(inv_view_projection, camera_position, height: int, width: int,
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5 + row0) / fh
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     u, v = jnp.meshgrid(xs, ys, indexing="xy")
-    ndc = jnp.stack(
-        [u * 2.0 - 1.0, 1.0 - v * 2.0, jnp.full_like(u, 0.5), jnp.ones_like(u)],
-        axis=-1,
-    )
-    p = m3.homogenize(jnp.einsum("ij,hwj->hwi", inv_view_projection, ndc))
-    return p - camera_position
+    return _unproject_rays(inv_view_projection, camera_position, u, v)
 
 
 def pack_triangle_attributes(geometry, src_id):
@@ -88,12 +105,7 @@ def pixel_rays_strided(inv_view_projection, camera_position, height: int,
     ys = (jnp.arange(hq, dtype=jnp.float32) * stride + 0.5 + row0) / fh
     xs = (jnp.arange(wq, dtype=jnp.float32) * stride + 0.5) / width
     u, v = jnp.meshgrid(xs, ys, indexing="xy")
-    ndc = jnp.stack(
-        [u * 2.0 - 1.0, 1.0 - v * 2.0, jnp.full_like(u, 0.5), jnp.ones_like(u)],
-        axis=-1,
-    )
-    p = m3.homogenize(jnp.einsum("ij,hwj->hwi", inv_view_projection, ndc))
-    return p - camera_position
+    return _unproject_rays(inv_view_projection, camera_position, u, v)
 
 
 @functools.partial(jax.jit, static_argnums=(7,))

@@ -34,7 +34,8 @@ from sailor_tpu.raytracing import bvh as bvh2
 ROW = 72          # row width in f32 lanes
 MAX_CHILDREN = 8
 MAX_LEAF = 7
-MAX_STACK = 12    # >= max depth of the 8-wide tree (log8 of ~1e9 nodes + slack)
+MAX_STACK = 16    # >= max depth of the 8-wide tree; ordered traversal can
+                  # push 2 entries (near/far group) per visited node
 
 # Internal row layout
 _I_MIN = 0        # [0:24]  minx[8], miny[8], minz[8]
@@ -208,9 +209,15 @@ def _bitcast_i32(x):
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit",))
-def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = False):
+def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = False,
+              active=None):
     """Batched traversal. origin/direction (R, 3). Returns dict with
     t, tri (original triangle id, -1 = miss), u, v, hit.
+
+    ``active``: optional (R,) bool — rays that start dead (terminated
+    bounces, back-facing shadow rays) retire immediately, shortening the
+    lockstep loop whenever a dead lane would otherwise have been the
+    longest traversal.
 
     Layout note: every 2-D per-iteration array keeps the RAY axis minor
     ((7, R) triangle lanes, (8, R) child lanes, (S, R) stack): TPU tiles
@@ -317,13 +324,27 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
             & ~is_leaf[None]
             & live[None]
         )
-        mask = jnp.sum(
-            jnp.where(chit, jnp.left_shift(1, jnp.arange(8))[:, None], 0), axis=0
-        )  # (R,) child-hit bitmask
+        bits = jnp.left_shift(1, jnp.arange(8))[:, None]
+        # Approximate front-to-back ordering: split hit children into a
+        # NEAR and a FAR group around the midpoint of their tnear range and
+        # push the far group first so near children pop first. Visiting
+        # near-first shrinks t_best early, so far subtrees die at their
+        # slab test instead of being descended (fewer lockstep iterations —
+        # the reference's ordered binary traversal, BVH.cpp, adapted to the
+        # 8-wide bitmask stack).
+        tn_hit = jnp.where(chit, tnear, jnp.inf)
+        tn_min = jnp.min(tn_hit, axis=0)                    # (R,)
+        tn_max = jnp.max(jnp.where(chit, tnear, -jnp.inf), axis=0)
+        thresh = 0.5 * (tn_min + tn_max)
+        near_g = chit & (tnear <= thresh[None])
+        far_g = chit & ~near_g
+        mask_near = jnp.sum(jnp.where(near_g, bits, 0), axis=0)  # (R,)
+        mask_far = jnp.sum(jnp.where(far_g, bits, 0), axis=0)
         # children rows are contiguous, so child k = base0 + k; store
         # (base0 << 8) | mask (slot 0 always populated for internal nodes).
         base0 = child[0]
-        entry = jnp.where(mask > 0, (base0 << 8) | mask, 0)
+        entry_near = jnp.where(mask_near > 0, (base0 << 8) | mask_near, 0)
+        entry_far = jnp.where(mask_far > 0, (base0 << 8) | mask_far, 0)
 
         # ---- stack update (stack is (S, R): ray axis minor) ----------------
         col = jnp.arange(MAX_STACK)[:, None]
@@ -332,11 +353,16 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
         # garbage node index (base - 127) -> false hits. Dropping the push
         # loses at most one subtree on pathologically deep trees; never
         # corrupts traversal.
-        do_push = (mask > 0) & live & (sp < MAX_STACK)
+        push_far = (mask_far > 0) & live & (sp < MAX_STACK)
         stack = jnp.where(
-            (col == sp[None]) & do_push[None], entry[None], stack
+            (col == sp[None]) & push_far[None], entry_far[None], stack
         )
-        sp = sp + do_push.astype(jnp.int32)
+        sp = sp + push_far.astype(jnp.int32)
+        push_near = (mask_near > 0) & live & (sp < MAX_STACK)
+        stack = jnp.where(
+            (col == sp[None]) & push_near[None], entry_near[None], stack
+        )
+        sp = sp + push_near.astype(jnp.int32)
 
         # pop: take top entry, extract lowest set bit -> next node.
         has = (sp > 0) & live
@@ -364,11 +390,12 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
     sp0 = jnp.zeros((r,), jnp.int32)
     node0 = jnp.zeros((r,), jnp.int32)
     tri0 = jnp.full((r,), -1, jnp.int32)
+    live0 = jnp.ones((r,), bool) if active is None else jnp.asarray(active)
     state = jax.lax.while_loop(
         cond,
         body,
         (stack0, sp0, node0, t0, tri0, jnp.zeros((r,)), jnp.zeros((r,)),
-         jnp.ones((r,), bool)),
+         live0),
     )
     _, _, _, t, tri, u, v, _ = state
     return {"t": t, "tri": tri, "u": u, "v": v, "hit": tri >= 0}

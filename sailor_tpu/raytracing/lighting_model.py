@@ -72,6 +72,52 @@ def ggx_pdf(n, h, wo, roughness):
     return jnp.maximum(d * cos_nh / denom, 1e-8)
 
 
+def refract(d, n, eta):
+    """Snell refraction of incident ``d`` (pointing INTO the surface)
+    through normal ``n`` (facing against d). ``eta`` = n_from / n_to.
+    Returns (refracted dir, total_internal_reflection mask)
+    (LightingModel.cpp Refract parity)."""
+    eta = jnp.asarray(eta)
+    if eta.ndim == d.ndim - 1:
+        eta = eta[..., None]
+    cos_i = jnp.maximum(-m3.dot(n, d, keepdims=True), 0.0)
+    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t[..., 0] > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    t = eta * d + (eta * cos_i - cos_t) * n
+    return m3.normalize(t), tir
+
+
+def fresnel_dielectric(cos_i, ior_ratio):
+    """Schlick Fresnel for a dielectric boundary with relative IOR
+    (n_to / n_from); cos_i = |cos| of the incident angle."""
+    f0 = ((ior_ratio - 1.0) / (ior_ratio + 1.0)) ** 2
+    return f0 + (1.0 - f0) * jnp.clip(1.0 - cos_i, 0.0, 1.0) ** 5
+
+
+def hg_phase(cos_t, g):
+    """Henyey-Greenstein phase function (LightingModel.h HG phase)."""
+    g2 = g * g
+    denom = jnp.maximum(1.0 + g2 - 2.0 * g * cos_t, 1e-6)
+    return (1.0 - g2) / (4.0 * jnp.pi * denom * jnp.sqrt(denom))
+
+
+def sample_hg(d, g, u1, u2):
+    """Sample a scattering direction about ``d`` from the HG phase.
+    ``g`` in (-1, 1); g ~ 0 falls back to uniform-sphere sampling."""
+    g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+    sq = (1.0 - g_safe * g_safe) / (1.0 + g_safe * (2.0 * u1 - 1.0))
+    cos_hg = (1.0 + g_safe * g_safe - sq * sq) / (2.0 * g_safe)
+    cos_t = jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * u1, cos_hg)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u2
+    local = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    return to_world(m3.normalize(d), local)
+
+
 def eval_brdf(n, wo, wi, albedo, metallic, roughness):
     """glTF metal-rough BRDF (diffuse + GGX specular), matching the
     realtime path (Standard.shader CalculateLighting) so path-traced and

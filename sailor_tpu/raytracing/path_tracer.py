@@ -37,11 +37,27 @@ class TraceScene:
     mat_metallic: jnp.ndarray  # (M,)
     mat_roughness: jnp.ndarray  # (M,)
     mat_emissive: jnp.ndarray  # (M, 3)
+    # Transmission / volumes (PathTracer.cpp:622-900, LightingModel.h BTDF;
+    # glTF KHR_materials_transmission / _ior / _volume):
+    mat_transmission: jnp.ndarray  # (M,) [0,1] transmit probability
+    mat_ior: jnp.ndarray           # (M,) index of refraction
+    mat_atten_color: jnp.ndarray   # (M, 3) Beer-Lambert tint at atten_dist
+    mat_atten_dist: jnp.ndarray    # (M,) distance for atten_color (<=0: none)
+    mat_scatter: jnp.ndarray       # (M,) volume scatter coeff sigma_s
+    mat_hg_g: jnp.ndarray          # (M,) HG phase anisotropy
+    # Textures at hit points (MaterialUtils.h CombinedSampler2D analog —
+    # the same bindless-style stack as the raster MaterialTable):
+    mat_albedo_tex: jnp.ndarray    # (M,) int32 layer into textures, -1 = none
+    textures: jnp.ndarray          # (N, S, S, 4)
     # Lighting environment:
     sun_direction: jnp.ndarray  # (3,) pointing from sun toward scene
     sun_intensity: jnp.ndarray  # (3,)
     sky_zenith: jnp.ndarray     # (3,)
     sky_horizon: jnp.ndarray    # (3,)
+    # Static flags (set at build): scenes without transmissive materials /
+    # textures skip those code paths entirely at trace time.
+    has_volumes: bool = struct.field(pytree_node=False, default=False)
+    has_textures: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -88,7 +104,12 @@ def camera_rays(camera_pos, view, proj, width, height, u_jitter, v_jitter):
 
 
 def _shade_hit(scene, res, origin, direction):
-    """Gather hit-point attributes: position, shading normal, material."""
+    """Gather hit-point attributes: position, shading normal, material.
+
+    Returns (pos, n_faceforward, entering, mat dict). ``entering`` is True
+    where the ray crosses from outside into the surface (interpolated
+    normal against the ray) — drives the refraction eta and medium state.
+    """
     tri = jnp.maximum(res["tri"], 0)
     u = res["u"][:, None]
     v = res["v"][:, None]
@@ -99,15 +120,34 @@ def _shade_hit(scene, res, origin, direction):
         + scene.normals[tri, 2] * v
     )
     n = m3.normalize(n)
+    entering = m3.dot(n, direction) < 0.0
     # Face-forward: flip shading normal against the incoming ray.
-    n = jnp.where(m3.dot(n, direction, keepdims=True) > 0.0, -n, n)
+    n = jnp.where(entering[:, None], n, -n)
     pos = origin + direction * res["t"][:, None]
     mid = scene.tri_mat[tri]
-    return pos, n, {
-        "albedo": scene.mat_albedo[mid],
+    albedo = scene.mat_albedo[mid]
+    if scene.has_textures:
+        from sailor_tpu.assets.materials import _sample_texture_stack
+
+        uvp = (
+            scene.uvs[tri, 0] * w0
+            + scene.uvs[tri, 1] * u
+            + scene.uvs[tri, 2] * v
+        )
+        layer = scene.mat_albedo_tex[mid]
+        tex = _sample_texture_stack(scene.textures, layer, uvp)
+        albedo = albedo * jnp.where((layer >= 0)[:, None], tex[..., :3], 1.0)
+    return pos, n, entering, {
+        "albedo": albedo,
         "metallic": scene.mat_metallic[mid],
         "roughness": scene.mat_roughness[mid],
         "emissive": scene.mat_emissive[mid],
+        "transmission": scene.mat_transmission[mid],
+        "ior": scene.mat_ior[mid],
+        "atten_color": scene.mat_atten_color[mid],
+        "atten_dist": scene.mat_atten_dist[mid],
+        "scatter": scene.mat_scatter[mid],
+        "hg_g": scene.mat_hg_g[mid],
     }
 
 
@@ -115,56 +155,104 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count):
     """Trace one radiance sample for a fixed set of primary rays.
 
     Shared by render() (jittered camera rays per spp) and trace_rays()
-    (caller-provided rays, e.g. the sharded multi-chip path)."""
+    (caller-provided rays, e.g. the sharded multi-chip path).
+
+    With ``scene.has_volumes``, the kernel adds the reference tracer's
+    transmission path (PathTracer.cpp:622-900): Fresnel-weighted
+    refraction through dielectric boundaries, Beer-Lambert attenuation
+    while inside a medium, and Henyey-Greenstein single scattering for
+    media with a scatter coefficient — all as masked lanes of the same
+    megakernel (no divergence).
+    """
     r = origin.shape[0]
     radiance = jnp.zeros((r, 3))
     throughput = jnp.ones((r, 3))
     live = jnp.ones((r,), bool)
+    volumes = scene.has_volumes
+    if volumes:
+        med_absorb = jnp.zeros((r, 3))   # Beer-Lambert sigma_a (per channel)
+        med_scatter = jnp.zeros((r,))    # sigma_s
+        med_g = jnp.zeros((r,))          # HG anisotropy
+        in_medium = jnp.zeros((r,), bool)
 
     for bounce in range(max_bounces):
-        res = bvh_mod.intersect(scene.bvh, origin, direction)
+        res = bvh_mod.intersect(scene.bvh, origin, direction,
+                                active=None if bounce == 0 else live)
         ray_count = ray_count + jnp.sum(live).astype(jnp.float32)
-        miss = live & ~res["hit"]
+        hit = live & res["hit"]
+
+        scattered = jnp.zeros((r,), bool)
+        if volumes:
+            # volume events along the segment [origin, hit point]
+            k_s0 = keys[5 * bounce + 3]
+            k_s1 = keys[5 * bounce + 4]
+            u_s = jax.random.uniform(k_s0, (r,))
+            t_hit = jnp.where(res["hit"], res["t"], 1e9)
+            t_sc = -jnp.log(jnp.maximum(1.0 - u_s, 1e-9)) / jnp.maximum(
+                med_scatter, 1e-9
+            )
+            scattered = live & in_medium & (med_scatter > 1e-6) & (t_sc < t_hit)
+            seg = jnp.where(scattered, t_sc, jnp.minimum(t_hit, 1e9))
+            att = jnp.exp(-med_absorb * jnp.where(
+                (live & in_medium)[:, None], seg[:, None], 0.0
+            ))
+            throughput = throughput * att
+            # HG scatter: new direction about the current one, stay inside
+            su1 = jax.random.uniform(k_s1, (r,))
+            su2 = u_s  # reuse (independent enough for single scattering)
+            d_sc = lm.sample_hg(direction, med_g, su1, su2)
+            sc_pos = origin + direction * t_sc[:, None]
+            origin = jnp.where(scattered[:, None], sc_pos, origin)
+            direction = jnp.where(scattered[:, None], d_sc, direction)
+            hit = hit & ~scattered
+
+        miss = live & ~res["hit"] & ~scattered
         radiance = radiance + jnp.where(
             miss[:, None],
             throughput * sky_radiance(scene, direction, include_sun=(bounce == 0)),
             0.0,
         )
-        live = live & res["hit"]
+        live = live & (res["hit"] | scattered)
 
-        pos, n, mat = _shade_hit(scene, res, origin, direction)
+        pos, n, entering, mat = _shade_hit(scene, res, origin, direction)
         wo = -direction
 
         radiance = radiance + jnp.where(
-            live[:, None], throughput * mat["emissive"], 0.0
+            hit[:, None], throughput * mat["emissive"], 0.0
         )
 
-        # next-event estimation: sun shadow ray
+        # next-event estimation: sun shadow ray — only for surface hits
+        # whose surface faces the sun (half the lanes retire immediately)
         wi_sun = -scene.sun_direction
         cos_sun = jnp.maximum(m3.dot(n, wi_sun, keepdims=True), 0.0)
         shadow_o = pos + n * 1e-3
+        facing = hit & (cos_sun[:, 0] > 0.0)
         sres = bvh_mod.intersect(
             scene.bvh, shadow_o, jnp.broadcast_to(wi_sun, shadow_o.shape),
-            any_hit=True,
+            any_hit=True, active=facing,
         )
-        ray_count = ray_count + jnp.sum(live).astype(jnp.float32)
-        lit = live & ~sres["hit"]
+        ray_count = ray_count + jnp.sum(facing).astype(jnp.float32)
+        lit = facing & ~sres["hit"]
         f_sun, _, _ = lm.eval_brdf(
             n, wo, jnp.broadcast_to(wi_sun, n.shape),
             mat["albedo"], mat["metallic"], mat["roughness"],
         )
-        radiance = radiance + jnp.where(
-            lit[:, None], throughput * f_sun * scene.sun_intensity * cos_sun, 0.0
-        )
+        nee = throughput * f_sun * scene.sun_intensity * cos_sun
+        if volumes:
+            # a transmissive surface reflects only the non-transmitted
+            # fraction — glass must not pick up a diffuse sun term
+            nee = nee * (1.0 - mat["transmission"])[:, None]
+        radiance = radiance + jnp.where(lit[:, None], nee, 0.0)
 
         # BRDF-sampled bounce (one-sample MIS between cosine + GGX lobes)
-        k0 = keys[3 * bounce]
-        k1 = keys[3 * bounce + 1]
-        k2 = keys[3 * bounce + 2]
+        k0 = keys[5 * bounce]
+        k1 = keys[5 * bounce + 1]
+        k2 = keys[5 * bounce + 2]
         u1 = jax.random.uniform(k0, (r,))
         u2 = jax.random.uniform(k1, (r,))
+        u_lobe = jax.random.uniform(k2, (r,))
         p_spec = 0.2 + 0.6 * mat["metallic"]
-        pick_spec = jax.random.uniform(k2, (r,)) < p_spec
+        pick_spec = u_lobe < p_spec
         d_cos, _ = lm.sample_cosine_hemisphere(n, u1, u2)
         h = lm.sample_ggx_half(n, mat["roughness"], u1, u2)
         d_spec = m3.reflect(direction, h)
@@ -179,10 +267,78 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count):
         weight = jnp.where(
             (pdf > 1e-8) & above, cos_i / jnp.maximum(pdf, 1e-8), 0.0
         )
-        throughput = throughput * f * weight[:, None]
-        live = live & above & (jnp.max(throughput, axis=-1) > 1e-4)
-        origin = pos + n * 1e-3
-        direction = wi
+        new_tp = throughput * f * weight[:, None]
+        surf_live = hit & above & (jnp.max(new_tp, axis=-1) > 1e-4)
+        new_origin = pos + n * 1e-3
+        new_dir = wi
+
+        if volumes:
+            # transmission lobe: with probability transmission x (1 - F)
+            # the ray refracts through the boundary instead of reflecting
+            # (Fresnel-weighted; TIR reflects). Beer-Lambert state updates
+            # on the crossing. Reference: PathTracer.cpp refraction path.
+            ior = jnp.maximum(mat["ior"], 1.0001)
+            eta = jnp.where(entering, 1.0 / ior, ior)
+            cos_in = jnp.maximum(-m3.dot(n, direction), 0.0)
+            fres = lm.fresnel_dielectric(cos_in, jnp.where(
+                entering, ior, 1.0 / ior
+            ))
+            d_refr, tir = lm.refract(direction, n, eta)
+            # P(transmit) = (1 - F) * transmission; the remaining
+            # probability mass reflects/diffuses through the BRDF lobes
+            transmit = (
+                hit
+                & (mat["transmission"] > 0.0)
+                & (u_lobe >= 1.0 - (1.0 - fres) * mat["transmission"])
+            )
+            # refracted continuation (TIR keeps reflecting via d_spec path)
+            goes_through = transmit & ~tir
+            tint = jnp.where(
+                goes_through[:, None], mat["albedo"], jnp.ones(3)
+            )
+            new_dir = jnp.where(
+                transmit[:, None],
+                jnp.where(tir[:, None], m3.reflect(direction, n), d_refr),
+                new_dir,
+            )
+            new_origin = jnp.where(
+                goes_through[:, None], pos - n * 1e-3, new_origin
+            )
+            # transmitted rays keep full throughput x tint (lobe already
+            # chosen by probability — no pdf weight needed for a delta lobe)
+            new_tp = jnp.where(transmit[:, None], throughput * tint, new_tp)
+            surf_live = jnp.where(transmit, hit, surf_live)
+
+            # medium bookkeeping: entering a volume loads its coefficients,
+            # exiting clears them (nested volumes unsupported, as reference)
+            enters_medium = goes_through & entering
+            exits_medium = goes_through & ~entering
+            sigma_a = -jnp.log(
+                jnp.clip(mat["atten_color"], 1e-4, 1.0)
+            ) / jnp.maximum(mat["atten_dist"], 1e-4)[:, None]
+            sigma_a = jnp.where(
+                (mat["atten_dist"] > 0.0)[:, None], sigma_a, 0.0
+            )
+            med_absorb = jnp.where(
+                enters_medium[:, None], sigma_a,
+                jnp.where(exits_medium[:, None], 0.0, med_absorb),
+            )
+            med_scatter = jnp.where(
+                enters_medium, mat["scatter"],
+                jnp.where(exits_medium, 0.0, med_scatter),
+            )
+            med_g = jnp.where(
+                enters_medium, mat["hg_g"],
+                jnp.where(exits_medium, 0.0, med_g),
+            )
+            in_medium = jnp.where(
+                enters_medium, True, jnp.where(exits_medium, False, in_medium)
+            )
+
+        live = jnp.where(scattered, live, surf_live)
+        origin = jnp.where(scattered[:, None], origin, new_origin)
+        direction = jnp.where(scattered[:, None], direction, new_dir)
+        throughput = jnp.where(scattered[:, None], throughput, new_tp)
 
     return radiance, ray_count
 
@@ -198,7 +354,7 @@ def trace_rays(scene, origin, direction, *, spp: int = 4,
 
     def one(carry, k):
         acc, rays = carry
-        keys = jax.random.split(k, 3 * max_bounces)
+        keys = jax.random.split(k, 5 * max_bounces)
         rad, rays = _trace_one_sample(
             scene, origin, direction, keys, max_bounces, rays
         )
@@ -233,7 +389,7 @@ def render(
 
     def sample_pass(acc_and_rays, sample_key):
         acc, ray_count = acc_and_rays
-        keys = jax.random.split(sample_key, 2 + 3 * max_bounces)
+        keys = jax.random.split(sample_key, 2 + 5 * max_bounces)
         ju = jax.random.uniform(keys[0], ())
         jv = jax.random.uniform(keys[1], ())
         origin, direction = camera_rays(
@@ -285,6 +441,19 @@ def scene_from_mesh(
             "roughness": np.asarray([0.6], np.float32),
             "emissive": np.zeros((1, 3), np.float32),
         }
+    m = len(materials["albedo"])
+    transmission = np.asarray(
+        materials.get("transmission", np.zeros(m)), np.float32
+    )
+    images = materials.get("images", [])
+    albedo_tex = np.asarray(
+        materials.get("albedo_texture", np.full(m, -1, np.int32)), np.int32
+    )
+    from sailor_tpu.assets.materials import stack_textures
+
+    textures = stack_textures(
+        list(images), int(materials.get("texture_size", 256))
+    )
 
     sun = np.asarray(sun_direction, np.float32)
     sun = sun / np.linalg.norm(sun)
@@ -297,8 +466,24 @@ def scene_from_mesh(
         mat_metallic=jnp.asarray(materials["metallic"]),
         mat_roughness=jnp.asarray(materials["roughness"]),
         mat_emissive=jnp.asarray(materials["emissive"]),
+        mat_transmission=jnp.asarray(transmission),
+        mat_ior=jnp.asarray(materials.get("ior", np.full(m, 1.5)), jnp.float32),
+        mat_atten_color=jnp.asarray(
+            materials.get("atten_color", np.ones((m, 3))), jnp.float32
+        ),
+        mat_atten_dist=jnp.asarray(
+            materials.get("atten_dist", np.zeros(m)), jnp.float32
+        ),
+        mat_scatter=jnp.asarray(
+            materials.get("scatter", np.zeros(m)), jnp.float32
+        ),
+        mat_hg_g=jnp.asarray(materials.get("hg_g", np.zeros(m)), jnp.float32),
+        mat_albedo_tex=jnp.asarray(albedo_tex),
+        textures=textures,
         sun_direction=jnp.asarray(sun),
         sun_intensity=jnp.asarray(sun_intensity, jnp.float32),
         sky_zenith=jnp.asarray(sky_zenith, jnp.float32),
         sky_horizon=jnp.asarray(sky_horizon, jnp.float32),
+        has_volumes=bool(transmission.max() > 0.0) if m else False,
+        has_textures=bool((albedo_tex >= 0).any()),
     )

@@ -1,0 +1,98 @@
+"""Web editor client: protocol round trip over the HTTP handler
+(the MAUI-editor analog — Editor/ + Lib/DllMain.cpp surface)."""
+
+import json
+
+import numpy as np
+
+from sailor_tpu.engine.editor_server import EditorServer
+from sailor_tpu.engine.editor_web import EditorWebApp
+
+
+def _app():
+    ed = EditorServer()
+    ed.initialize("content/Editor.world")
+    ed.start()
+    return EditorWebApp(ed), ed
+
+
+def test_page_and_world_listing():
+    app, ed = _app()
+    status, ctype, page = app.handle("GET", "/", b"")
+    assert status == 200 and b"Hierarchy" in page
+
+    status, ctype, body = app.handle("GET", "/api/world", b"")
+    assert status == 200
+    doc = json.loads(body)
+    assert doc["objects"], "Editor.world must list game objects"
+    first = doc["objects"][0]
+    assert first["instance_id"] and "position" in first["yaml"]
+
+
+def test_update_object_roundtrip():
+    app, ed = _app()
+    _, _, body = app.handle("GET", "/api/world", b"")
+    obj = json.loads(body)["objects"][0]
+    iid = obj["instance_id"]
+    patch = "position: [5.0, 6.0, 7.0]\n"
+    status, _, resp = app.handle(
+        "POST", f"/api/update?id={iid}", patch.encode()
+    )
+    assert status == 200 and json.loads(resp)["ok"]
+    go = ed.world.find_by_instance_id(iid)
+    np.testing.assert_allclose(go.position, [5.0, 6.0, 7.0])
+    # unknown id -> ok: false
+    _, _, resp2 = app.handle("POST", "/api/update?id=nope", b"name: x\n")
+    assert not json.loads(resp2)["ok"]
+
+
+def test_messages_and_frame_endpoints():
+    app, ed = _app()
+    status, ctype, png = app.handle("GET", "/api/frame.png", b"")
+    assert status == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
+    status, _, msgs = app.handle("GET", "/api/messages", b"")
+    assert status == 200 and isinstance(json.loads(msgs), list)
+
+
+def test_live_http_server():
+    """Full socket round trip on an ephemeral port."""
+    import http.client
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    app, ed = _app()
+
+    # build the same handler serve() uses, but on port 0
+    class Handler(__import__("http.server", fromlist=["BaseHTTPRequestHandler"]).BaseHTTPRequestHandler):
+        def _respond(self, method):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n) if n else b""
+            s, c, p = app.handle(method, self.path, body)
+            self.send_response(s)
+            self.send_header("Content-Type", c)
+            self.send_header("Content-Length", str(len(p)))
+            self.end_headers()
+            self.wfile.write(p)
+
+        def do_GET(self):
+            self._respond("GET")
+
+        def do_POST(self):
+            self._respond("POST")
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/api/world")
+        r = conn.getresponse()
+        assert r.status == 200
+        doc = json.loads(r.read())
+        assert doc["objects"]
+    finally:
+        server.shutdown()

@@ -139,3 +139,42 @@ def test_material_table_in_raster_path():
     reds = (final[..., 0] > final[..., 2]) & cov
     blues = (final[..., 2] > final[..., 0]) & cov
     assert reds.sum() > 50 and blues.sum() > 50
+
+
+def test_csm_change_snapshot_cache():
+    """Shadow maps re-render only when cascades/geometry change
+    (LightingECS.cpp:262-371 CSMLightState caching analog)."""
+    import jax.numpy as jnp
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.rhi.types import FrameData
+
+    asset = FrameGraphAsset.from_yaml(
+        "frame:\n - name: DepthPrepass\n - name: LinearizeDepth\n"
+        " - name: LightCulling\n - name: ShadowPrepass\n"
+        " - name: RenderScene\n - name: EyeAdaptation\n"
+    )
+    fg = FrameGraph(asset, W, H, config={
+        "bin_capacity": 256, "bin_rounds": 2, "shadow_resolution": 128,
+        "z_far": 100.0,
+    })
+    scene = _scene_view()
+    state = fg.initial_state()
+    assert "csm/maps" in state and float(state["csm/maps"].max()) == 0.0
+    fg.prepare(scene, state)
+    t1, s1 = fg.process(scene, state)
+    maps1 = np.asarray(s1["csm/maps"])
+    assert maps1.max() > 0.0  # first frame rendered the cascades
+    # static camera: cached maps bit-identical
+    t2, s2 = fg.process(scene, s1)
+    np.testing.assert_array_equal(np.asarray(s2["csm/maps"]), maps1)
+    np.testing.assert_array_equal(
+        np.asarray(t2["ShadowMaps"]), maps1)
+    # move the camera -> cascades refit -> maps re-render (and differ)
+    cam = jnp.asarray([7.0, 4.0, 5.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.5, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, W / H, 0.1, 100.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 100.0, time=0.0, dt=1 / 60)
+    scene3 = scene.replace(frame=frame, prev_frame=frame)
+    t3, s3 = fg.process(scene3, s2)
+    assert np.abs(np.asarray(s3["csm/maps"]) - maps1).max() > 0.0

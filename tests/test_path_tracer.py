@@ -116,3 +116,145 @@ def test_energy_conservation_white_furnace():
     # Perfect furnace = 1.0; finite bounces + fresnel loss put it below,
     # but it should be within ~35%.
     assert 0.6 < center <= 1.15, center
+
+
+# --- transmission / volumes (PathTracer.cpp:622-900 parity) -------------------
+
+
+def test_refract_straight_and_tir():
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    d_straight = jnp.asarray([[0.0, 0.0, -1.0]])
+    t, tir = lm.refract(d_straight, n, jnp.asarray([1.0 / 1.5]))
+    np.testing.assert_allclose(np.asarray(t)[0], [0, 0, -1], atol=1e-6)
+    assert not bool(tir[0])
+    # shallow exit from glass (eta = 1.5) beyond critical angle -> TIR
+    d_shallow = jnp.asarray([[0.9, 0.0, -np.sqrt(1 - 0.81)]], jnp.float32)
+    _, tir2 = lm.refract(d_shallow, n, jnp.asarray([1.5]))
+    assert bool(tir2[0])
+
+
+def test_hg_sampling_mean_cosine_matches_g():
+    import jax
+
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (8192, 3))
+    for g in (0.0, 0.4, 0.76):
+        u1 = jax.random.uniform(jax.random.PRNGKey(1), (8192,))
+        u2 = jax.random.uniform(jax.random.PRNGKey(2), (8192,))
+        out = lm.sample_hg(d, jnp.full((8192,), g), u1, u2)
+        mean_cos = float(jnp.mean(out[:, 2]))
+        assert abs(mean_cos - g) < 0.03, (g, mean_cos)
+
+
+def test_glass_sphere_transmits_background():
+    """A transmissive sphere must show (refracted) background through it,
+    not its own surface color; an opaque sphere must not."""
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = [0.0, 2.0, 0.0]
+    soup = primitives.merge(
+        [(primitives.uv_sphere(1.0, 24, 48), t)], material_ids=[0]
+    )
+
+    def scene_with(transmission):
+        return pt.scene_from_mesh(
+            soup,
+            {
+                "albedo": np.asarray([[0.98, 0.98, 0.98]], np.float32),
+                "metallic": np.zeros(1, np.float32),
+                "roughness": np.asarray([0.05], np.float32),
+                "emissive": np.zeros((1, 3), np.float32),
+                "transmission": np.asarray([transmission], np.float32),
+                "ior": np.asarray([1.5], np.float32),
+            },
+            sky_zenith=(0.0, 0.0, 1.0),      # blue above
+            sky_horizon=(1.0, 0.0, 0.0),     # red at horizon
+        )
+
+    cam = jnp.asarray([0.0, 2.0, 4.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 2.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 4, 1.0, 0.1, 50.0)
+    img_glass, _ = pt.render(scene_with(1.0), cam, view, proj,
+                             width=48, height=48, spp=12, max_bounces=6)
+    img_solid, _ = pt.render(scene_with(0.0), cam, view, proj,
+                             width=48, height=48, spp=12, max_bounces=6)
+    center_glass = np.asarray(img_glass)[20:28, 20:28].mean(axis=(0, 1))
+    center_solid = np.asarray(img_solid)[20:28, 20:28].mean(axis=(0, 1))
+    # the sky has NO green; a white diffuse sphere lit by the (greenish)
+    # sun has plenty. Glass transmits sky -> green stays low; solid keeps
+    # the diffuse sun term -> green is substantial.
+    g_ratio_glass = center_glass[1] / max(center_glass.max(), 1e-3)
+    g_ratio_solid = center_solid[1] / max(center_solid.max(), 1e-3)
+    assert g_ratio_glass < 0.35, (center_glass, center_solid)
+    assert g_ratio_solid > 0.45, (center_glass, center_solid)
+    # and the two renders must differ substantially at the center
+    assert np.abs(center_glass - center_solid).max() > 0.15
+
+
+def test_beer_lambert_attenuation_tints():
+    """A thick absorbing slab tints transmitted light toward atten_color."""
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = [0.0, 2.0, 0.0]
+    soup = primitives.merge([(primitives.cube(2.0), t)], material_ids=[0])
+
+    def scene_with(atten_dist):
+        return pt.scene_from_mesh(
+            soup,
+            {
+                "albedo": np.asarray([[1.0, 1.0, 1.0]], np.float32),
+                "metallic": np.zeros(1, np.float32),
+                "roughness": np.asarray([0.05], np.float32),
+                "emissive": np.zeros((1, 3), np.float32),
+                "transmission": np.asarray([1.0], np.float32),
+                "ior": np.asarray([1.01], np.float32),  # near-straight rays
+                "atten_color": np.asarray([[1.0, 0.2, 0.2]], np.float32),
+                "atten_dist": np.asarray([atten_dist], np.float32),
+            },
+            sky_zenith=(1.0, 1.0, 1.0),
+            sky_horizon=(1.0, 1.0, 1.0),
+        )
+
+    cam = jnp.asarray([0.0, 2.0, 4.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 2.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 5, 1.0, 0.1, 50.0)
+    img_a, _ = pt.render(scene_with(0.5), cam, view, proj,
+                         width=32, height=32, spp=8, max_bounces=6)
+    img_n, _ = pt.render(scene_with(0.0), cam, view, proj,
+                         width=32, height=32, spp=8, max_bounces=6)
+    c_a = np.asarray(img_a)[12:20, 12:20].mean(axis=(0, 1))
+    c_n = np.asarray(img_n)[12:20, 12:20].mean(axis=(0, 1))
+    # attenuated: green/blue suppressed relative to red
+    assert c_a[0] > c_a[1] * 1.5 and c_a[0] > c_a[2] * 1.5, c_a
+    # without attenuation the transmitted light stays neutral
+    assert abs(c_n[0] - c_n[1]) < 0.15 * max(c_n[0], 1e-3), c_n
+
+
+def test_textures_at_hit_points():
+    """Tracer samples the albedo texture stack at hit UVs
+    (MaterialUtils.h CombinedSampler2D analog)."""
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[:, :4] = [1, 0, 0, 1]   # left half red
+    tex[:, 4:] = [0, 0, 1, 1]   # right half blue
+    soup = primitives.merge([(primitives.plane(10.0), np.eye(4))],
+                            material_ids=[0])
+    scene = pt.scene_from_mesh(
+        soup,
+        {
+            "albedo": np.ones((1, 3), np.float32),
+            "metallic": np.zeros(1, np.float32),
+            "roughness": np.asarray([0.9], np.float32),
+            "emissive": np.zeros((1, 3), np.float32),
+            "albedo_texture": np.asarray([0], np.int32),
+            "images": [tex],
+            "texture_size": 8,
+        },
+    )
+    assert scene.has_textures
+    cam = jnp.asarray([0.0, 6.0, 0.01])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, -1.0]))
+    proj = m3.perspective(jnp.pi / 4, 1.0, 0.1, 50.0)
+    img, _ = pt.render(scene, cam, view, proj, width=32, height=32, spp=4,
+                       max_bounces=2)
+    img = np.asarray(img)
+    left = img[8:24, 4:12].mean(axis=(0, 1))
+    right = img[8:24, 20:28].mean(axis=(0, 1))
+    # the two halves must pick up opposite tints
+    assert (left[0] > left[2]) != (right[0] > right[2]), (left, right)

@@ -195,3 +195,50 @@ def test_upsample_pow2_constant_preserved():
     src = jnp.full((5, 6), 2.5)
     up = np.asarray(sampling.upsample_bilinear_pow2(src, (10, 12)))
     np.testing.assert_allclose(up, 2.5, atol=1e-6)
+
+
+# --- sun shafts + lens dirt ---------------------------------------------------
+
+
+def test_sun_shafts_brighten_toward_visible_sun():
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.kernels import postprocess as pp
+
+    h, w = 64, 96
+    color = jnp.zeros((h, w, 3))
+    depth = jnp.zeros((h, w))  # all sky
+    # camera looking straight at the sun: -Z forward, sun shining along -Z?
+    # sun_direction points FROM sun TOWARD scene; camera looks down -Z, so a
+    # sun in front has direction +Z-ish... build view/proj via look_at.
+    cam = jnp.asarray([0.0, 0.0, 0.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.0, -1.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, w / h, 0.1, 100.0)
+    vp = proj @ view
+    sun_dir = m3.normalize(jnp.asarray([0.0, -0.1, 1.0]))  # shining toward +z => sun at -z
+    out = pp.sun_shafts(color, depth, vp, sun_dir, jnp.asarray([1.0, 1.0, 1.0]),
+                        intensity=0.5, num_samples=8)
+    out = np.asarray(out)
+    assert out.max() > 0.01  # visible glow
+    # sun behind the camera: no glow
+    out_b = np.asarray(pp.sun_shafts(
+        color, depth, vp, m3.normalize(jnp.asarray([0.0, -0.1, -1.0])),
+        jnp.asarray([1.0, 1.0, 1.0]), intensity=0.5, num_samples=8))
+    assert out_b.max() < 1e-6
+    # fully occluded sky (depth > 0 everywhere): no glow
+    out_o = np.asarray(pp.sun_shafts(
+        color, jnp.ones((h, w)), vp, sun_dir, jnp.asarray([1.0, 1.0, 1.0]),
+        intensity=0.5, num_samples=8))
+    assert out_o.max() < 1e-6
+
+
+def test_bloom_lens_dirt_modulates():
+    from sailor_tpu.kernels import bloom as bloom_k
+
+    img = jnp.zeros((64, 64, 3)).at[28:36, 28:36].set(6.0)  # bright blob
+    plain = np.asarray(bloom_k.bloom(img))
+    dirt = bloom_k.lens_dirt(64, 64)
+    dirty = np.asarray(bloom_k.bloom(img, dirt=dirt, dirt_intensity=1.0))
+    assert (dirty >= plain - 1e-6).all()      # dirt only adds
+    assert dirty.sum() > plain.sum() * 1.02   # and measurably
+    d = np.asarray(dirt)[..., 0]
+    assert d.min() >= 0.0 and d.max() <= 1.0 and d.std() > 0.05
