@@ -822,40 +822,83 @@ class CopyTextureToRamNode(BaseNode):
 class ParticlesNode(BaseNode):
     """GPU particle playback (experimental ParticlesNode.cpp analog).
 
-    Particle state (pos/vel/life) lives in the temporal ``state`` dict and
-    integrates on device per frame; rendering splats additive points into Main.
+    Two sources, matching the reference's two paths:
+    - baked animation: node param ``asset: path.particles`` loads the
+      ParticleInfo YAML + ParticleData binary once (in prepare, host
+      side); playback interpolates the frame records on device
+      (assets/particles.sample_baked).
+    - live sim: ``particles/pos|vel|life`` arrays in the temporal state
+      dict integrate Euler + gravity per frame.
+
+    Rendering is the scatter-free tile-binned soft splat
+    (kernels/particles.splat_particles) with a reverse-Z soft depth test,
+    plus the reference's trace-decay motion trail: an exponentially
+    decayed splat accumulator carried in the state dict.
     """
 
-    def process(self, ctx, targets):
-        state = ctx.state or {}
-        if "particles/pos" not in state:
-            return targets
-        pos = state["particles/pos"]
-        vel = state["particles/vel"]
-        life = state["particles/life"]
-        dt = ctx.scene.frame.delta_time
-        gravity = jnp.asarray([0.0, float(self.p("gravity", -2.0)), 0.0])
-        vel = vel + gravity * dt
-        pos = pos + vel * dt
-        life = life - dt
-        alive = life > 0.0
-        out = targets.setdefault("state_out", {})
-        out["particles/pos"] = pos
-        out["particles/vel"] = vel
-        out["particles/life"] = life
+    def prepare(self, ctx):
+        path = self.p("asset")
+        if path and getattr(self, "_asset_path", None) != path:
+            from sailor_tpu.assets.particles import ParticlesAsset
 
-        # splat into Main (additive)
-        main = targets.get("main" if "main" in targets else "Main")
+            self._asset = ParticlesAsset.load(path)
+            self._asset_path = path
+            self._baked = jnp.asarray(self._asset.data)
+
+    def process(self, ctx, targets):
+        from sailor_tpu.assets.particles import sample_baked
+        from sailor_tpu.kernels import particles as part_k
+
+        state = ctx.state or {}
+        out = targets.setdefault("state_out", {})
+        asset = getattr(self, "_asset", None)
+
+        if asset is not None:
+            pos, radii, colors = sample_baked(
+                self._baked, ctx.scene.frame.current_time,
+                asset.fps, asset.frames,
+            )
+            trace_decay = asset.trace_decay
+        elif "particles/pos" in state:
+            pos = state["particles/pos"]
+            vel = state["particles/vel"]
+            life = state["particles/life"]
+            dt = ctx.scene.frame.delta_time
+            gravity = jnp.asarray([0.0, float(self.p("gravity", -2.0)), 0.0])
+            vel = vel + gravity * dt
+            pos = pos + vel * dt
+            life = life - dt
+            out["particles/pos"] = pos
+            out["particles/vel"] = vel
+            out["particles/life"] = life
+            base = jnp.asarray(self.p("color", [4.0, 2.5, 1.0]) + [1.0])
+            colors = jnp.where(
+                (life > 0.0)[:, None], base[None, :], 0.0
+            )
+            radii = jnp.full(pos.shape[:1], float(self.p("size", 0.08)))
+            trace_decay = float(self.p("traceDecay", 0.0))
+        else:
+            return targets
+
+        main = targets.get("Main")
         if main is None:
             return targets
-        h, w = main.shape[:2]
-        vp = ctx.scene.frame.view_projection
-        clip = m3.transform_point_h(vp, pos)
-        ndc = clip[..., :3] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-6)
-        xs = jnp.clip(((ndc[:, 0] * 0.5 + 0.5) * w).astype(jnp.int32), 0, w - 1)
-        ys = jnp.clip(((0.5 - ndc[:, 1] * 0.5) * h).astype(jnp.int32), 0, h - 1)
-        ok = alive & (clip[:, 3] > 1e-6) & (ndc[:, 2] > 0) & (ndc[:, 2] <= 1)
-        color = jnp.asarray(self.p("color", [4.0, 2.5, 1.0]))
-        add = jnp.where(ok[:, None], color[None, :], 0.0)
-        targets["Main"] = main.at[ys, xs].add(add)
+        splat = part_k.splat_particles(
+            pos, radii, colors,
+            ctx.scene.frame.view_projection, ctx.scene.frame.projection,
+            targets["Depth"],
+            width=ctx.width, height=ctx.height,
+            full_height=ctx.full_height, row0=ctx.row0,
+            capacity=int(self.p("capacity", 64)),
+        )
+        if trace_decay > 0.0:
+            # motion trail (PushConstants m_traceDecay/m_traceFrames): an
+            # exponentially decayed splat history in the temporal state
+            trail = state.get("particles/trail")
+            if trail is None or trail.shape != splat.shape:
+                trail = jnp.zeros_like(splat)
+            trail = trail * trace_decay + splat
+            out["particles/trail"] = trail
+            splat = trail
+        targets["Main"] = main + splat
         return targets
