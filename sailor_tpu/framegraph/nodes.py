@@ -462,6 +462,53 @@ class PostProcessNode(BaseNode):
             targets["Main"] = pp.chromatic_aberration(
                 targets["Main"], float(ctx.value("CA.Strength", 0.003))
             )
+        elif shader == "Debug":
+            # Debug compose (Debug.shader AO / LIGHT_TILES / CASCADES
+            # defines): visualize an intermediate buffer over the LDR
+            # frame. Mode is a node param so the editor/console can flip
+            # it; "none" is a passthrough (the reference's default).
+            mode = self.p("mode", "none")
+            dst = "Final" if "Final" in targets else "Main"
+            if mode == "ao" and "AO" in targets:
+                targets[dst] = jnp.repeat(
+                    targets["AO"][..., None], 3, axis=-1
+                )
+            elif mode == "light_tiles" and "LightCounts" in targets:
+                from sailor_tpu import config as _cfg
+
+                t = _cfg.LIGHTS_CULLING_TILE_SIZE
+                z_far = float(ctx.config.get("z_far", 150.0))
+                base = targets["LinearDepth"] / z_far
+                heat = jnp.repeat(
+                    jnp.repeat(
+                        targets["LightCounts"].astype(jnp.float32), t, 0
+                    ), t, 1
+                )[: ctx.height, : ctx.width] * 0.05
+                targets[dst] = jnp.stack(
+                    [base + heat, base + heat, base], axis=-1
+                )
+            elif mode == "cascades" and "ShadowMaps" in targets:
+                from sailor_tpu.kernels import shadow as _sh
+
+                # color by selected cascade (green/yellow/cyan/red),
+                # modulated by the LDR luma underneath
+                z_far = float(ctx.config.get("z_far", 150.0))
+                lin = targets["LinearDepth"]
+                layer = jnp.full(lin.shape, len(_sh.config.SHADOW_CASCADE_LEVELS),
+                                 jnp.int32)
+                for i in reversed(range(len(_sh.config.SHADOW_CASCADE_LEVELS))):
+                    layer = jnp.where(
+                        lin < z_far * _sh.config.SHADOW_CASCADE_LEVELS[i],
+                        i, layer,
+                    )
+                palette = jnp.asarray(
+                    [[0, 1, 0], [1, 1, 0], [0, 1, 1], [1, 0, 0], [1, 1, 1]],
+                    jnp.float32,
+                )
+                luma = jnp.clip(
+                    targets[dst].mean(-1, keepdims=True), 0.15, 1.0
+                )
+                targets[dst] = palette[jnp.minimum(layer, 4)] * luma
         else:
             raise KeyError(f"unknown PostProcess shader '{shader}'")
         return targets
@@ -483,13 +530,37 @@ class RenderSceneNode(BaseNode):
         if "AO" in targets:
             gbuffer = gbuffer.replace(ao=targets["AO"])
 
+        # Coverage-weighted 2x2 mean-pool for the half/quarter-res terms.
+        # Strided slices ([::2, ::2]) on the resolved planes lowered to
+        # per-pixel index GATHERS in this fusion context (~5-12 ms EACH at
+        # 1080p, ~37 ms total, profiled); reduce-window pooling is dense
+        # VPU work (~0.02 ms) and anti-aliases the inputs for free.
+        def pool(x, q, w=None):
+            h2, w2 = x.shape[0] // q, x.shape[1] // q
+            tail = x.shape[2:]
+            xr = x.reshape(h2, q, w2, q, *tail)
+            if w is None:
+                return xr.mean(axis=(1, 3))
+            wr = w.reshape(h2, q, w2, q, *(1,) * len(tail))
+            return (xr * wr).sum(axis=(1, 3)) / jnp.maximum(
+                wr.sum(axis=(1, 3)), 1e-6
+            )
+
+        cov = gbuffer.coverage
+
+        def pooled_inputs(q):
+            wpos_q = pool(gbuffer.world_position, q, cov)
+            n_q = m3.normalize(pool(gbuffer.normal, q, cov))
+            return wpos_q, n_q
+
         # CSM shadow factor for the sun — computed at half resolution and
         # upsampled (the EVSM moments are pre-blurred; the gather is
         # HBM-latency bound so pixel count is the direct cost).
         shadow = None
         if "EvsmMaps" in targets:
+            wpos_h, n_h = pooled_inputs(2)
             shadow_q = shadow_k.csm_shadow_factor_evsm(
-                gbuffer.world_position[::2, ::2], gbuffer.normal[::2, ::2],
+                wpos_h, n_h,
                 scene.frame.view,
                 scene.sky.sun_direction, targets["LightMatrices"],
                 targets["EvsmMaps"],
@@ -497,8 +568,9 @@ class RenderSceneNode(BaseNode):
             )
             shadow = ctx.upsample(shadow_q, (ctx.height, ctx.width))
         elif "ShadowMaps" in targets:
+            wpos_h, n_h = pooled_inputs(2)
             shadow_q = shadow_k.csm_shadow_factor(
-                gbuffer.world_position[::2, ::2], gbuffer.normal[::2, ::2],
+                wpos_h, n_h,
                 scene.frame.view,
                 scene.sky.sun_direction, targets["LightMatrices"],
                 targets["ShadowMaps"], targets.get("EvsmMap"),
@@ -515,23 +587,24 @@ class RenderSceneNode(BaseNode):
         ibl_ambient = None
         state = ctx.state or {}
         if "env/irradiance" in state:
-            view_dir = m3.normalize(
-                gbuffer.world_position - scene.frame.camera_position
+            q = int(ctx.config.get("ibl_stride", 4))
+            wpos_q, n_q = pooled_inputs(q)
+            view_dir_q = m3.normalize(
+                wpos_q - scene.frame.camera_position
             )
-            q = 2
+            alb_q = pool(gbuffer.albedo, q, cov)
+            met_q = pool(gbuffer.metallic, q, cov)
+            rough_q = pool(gbuffer.roughness, q, cov)
+            ao_q = pool(gbuffer.ao, q, cov)
             if "env/spec_stack" in state:
                 amb_q = ibl_k.ambient_ibl_packed(
-                    gbuffer.albedo[::q, ::q], gbuffer.metallic[::q, ::q],
-                    gbuffer.roughness[::q, ::q], gbuffer.ao[::q, ::q],
-                    gbuffer.normal[::q, ::q], view_dir[::q, ::q],
+                    alb_q, met_q, rough_q, ao_q, n_q, view_dir_q,
                     state["env/irradiance"], state["env/spec_stack"],
                 )
             else:
                 mips = [state[k] for k in sorted(state) if k.startswith("env/mip")]
                 amb_q = ibl_k.ambient_ibl(
-                    gbuffer.albedo[::q, ::q], gbuffer.metallic[::q, ::q],
-                    gbuffer.roughness[::q, ::q], gbuffer.ao[::q, ::q],
-                    gbuffer.normal[::q, ::q], view_dir[::q, ::q],
+                    alb_q, met_q, rough_q, ao_q, n_q, view_dir_q,
                     state["env/irradiance"], mips, state["env/brdf_lut"],
                 )
             ibl_ambient = ctx.upsample(

@@ -178,3 +178,35 @@ def test_csm_change_snapshot_cache():
     scene3 = scene.replace(frame=frame, prev_frame=frame)
     t3, s3 = fg.process(scene3, s2)
     assert np.abs(np.asarray(s3["csm/maps"]) - maps1).max() > 0.0
+
+
+def test_debug_compose_modes():
+    """Debug.shader parity: AO / light-tile / cascade visualizations."""
+    base = (
+        "frame:\n - name: DepthPrepass\n - name: LinearizeDepth\n"
+        " - name: LightCulling\n - name: ShadowPrepass\n"
+        " - name: PostProcess\n   shader: HBAO\n"
+        " - name: RenderScene\n - name: EyeAdaptation\n"
+        " - name: PostProcess\n   shader: Debug\n   mode: {mode}\n"
+    )
+    scene = _scene_view()
+    outs = {}
+    for mode in ("none", "ao", "light_tiles", "cascades"):
+        asset = FrameGraphAsset.from_yaml(base.format(mode=mode))
+        fg = FrameGraph(asset, W, H, config={
+            "bin_capacity": 256, "bin_rounds": 2, "shadow_resolution": 128,
+            "z_far": 100.0,
+        })
+        state = fg.initial_state()
+        fg.prepare(scene, state)
+        targets, _ = fg.process(scene, state)
+        outs[mode] = np.asarray(targets["Final"])
+        assert np.isfinite(outs[mode]).all(), mode
+    # ao mode is grayscale (all channels equal), differs from passthrough
+    assert np.allclose(outs["ao"][..., 0], outs["ao"][..., 1])
+    assert np.abs(outs["ao"] - outs["none"]).max() > 0.01
+    # light-tile heatmap boosts r/g over b where the point light lands
+    diff = outs["light_tiles"][..., 0] - outs["light_tiles"][..., 2]
+    assert diff.max() > 0.04
+    # cascade view recolors the frame
+    assert np.abs(outs["cascades"] - outs["none"]).max() > 0.05
