@@ -530,21 +530,26 @@ class RenderSceneNode(BaseNode):
         if "AO" in targets:
             gbuffer = gbuffer.replace(ao=targets["AO"])
 
-        # Coverage-weighted 2x2 mean-pool for the half/quarter-res terms.
+        # Coverage-weighted mean-pool for the half/quarter-res terms.
         # Strided slices ([::2, ::2]) on the resolved planes lowered to
         # per-pixel index GATHERS in this fusion context (~5-12 ms EACH at
-        # 1080p, ~37 ms total, profiled); reduce-window pooling is dense
-        # VPU work (~0.02 ms) and anti-aliases the inputs for free.
+        # 1080p, ~37 ms total, profiled); and 5-D reshape+reduce pooling
+        # cost ~11 ms in layout copies. reduce_window has only a dense
+        # windowed lowering — it can't regress into either.
         def pool(x, q, w=None):
-            h2, w2 = x.shape[0] // q, x.shape[1] // q
-            tail = x.shape[2:]
-            xr = x.reshape(h2, q, w2, q, *tail)
-            if w is None:
-                return xr.mean(axis=(1, 3))
-            wr = w.reshape(h2, q, w2, q, *(1,) * len(tail))
-            return (xr * wr).sum(axis=(1, 3)) / jnp.maximum(
-                wr.sum(axis=(1, 3)), 1e-6
+            win = (q, q) + (1,) * (x.ndim - 2)
+            xs = x if w is None else x * (
+                w if x.ndim == 2 else w[..., None]
             )
+            s = jax.lax.reduce_window(
+                xs, 0.0, jax.lax.add, win, win, "VALID"
+            )
+            if w is None:
+                return s / (q * q)
+            sw = jax.lax.reduce_window(
+                w, 0.0, jax.lax.add, (q, q), (q, q), "VALID"
+            )
+            return s / jnp.maximum(sw if x.ndim == 2 else sw[..., None], 1e-6)
 
         cov = gbuffer.coverage
 
@@ -553,12 +558,14 @@ class RenderSceneNode(BaseNode):
             n_q = m3.normalize(pool(gbuffer.normal, q, cov))
             return wpos_q, n_q
 
-        # CSM shadow factor for the sun — computed at half resolution and
-        # upsampled (the EVSM moments are pre-blurred; the gather is
-        # HBM-latency bound so pixel count is the direct cost).
+        # CSM shadow factor for the sun — computed at reduced resolution
+        # and upsampled (the EVSM moments are pre-blurred and the factor
+        # gather is HBM-latency bound, so pixel count is the direct cost:
+        # stride 4 cuts the 522k-row gather to 131k, ~7 ms at 1080p).
+        sq = int(ctx.config.get("shadow_stride", 4))
         shadow = None
         if "EvsmMaps" in targets:
-            wpos_h, n_h = pooled_inputs(2)
+            wpos_h, n_h = pooled_inputs(sq)
             shadow_q = shadow_k.csm_shadow_factor_evsm(
                 wpos_h, n_h,
                 scene.frame.view,
@@ -568,7 +575,7 @@ class RenderSceneNode(BaseNode):
             )
             shadow = ctx.upsample(shadow_q, (ctx.height, ctx.width))
         elif "ShadowMaps" in targets:
-            wpos_h, n_h = pooled_inputs(2)
+            wpos_h, n_h = pooled_inputs(sq)
             shadow_q = shadow_k.csm_shadow_factor(
                 wpos_h, n_h,
                 scene.frame.view,

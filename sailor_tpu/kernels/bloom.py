@@ -66,6 +66,22 @@ def quadratic_threshold(color, threshold: float, knee: float):
     return color * scale[..., None]
 
 
+def _stride2(img):
+    """Even-texel extraction via a strided 1x1 reduce_window — guaranteed
+    dense lowering. A plain ``img[::2, ::2]`` in this fusion context
+    lowered to a per-pixel index gather (~3.6 ms at 1080p, profiled);
+    reduce_window cannot become a gather."""
+    import jax
+
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    win = (1, 1) + (1,) * (img.ndim - 2)
+    stride = (2, 2) + (1,) * (img.ndim - 2)
+    out = jax.lax.reduce_window(
+        img[: h2 * 2, : w2 * 2], 0.0, jax.lax.add, win, stride, "VALID"
+    )
+    return out
+
+
 def _sample_at(img, dy: int, dx: int):
     """img shifted by (dy, dx) texels with clamp-to-edge (pad+slice: fuses
     on TPU where index-take gathers do not)."""
@@ -86,10 +102,9 @@ def downsample_13tap(img, *, use_threshold=False, threshold=1.0, knee=0.5):
 
     ``img``: (H, W, 3). Returns (H//2, W//2, 3).
     """
-    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
     # Full-res taps A..M live on the even-coordinate grid around each output
     # texel; D/E/I/J are the 2x2 averages between them (Jimenez14 layout).
-    full = img[: h2 * 2 : 2, : w2 * 2 : 2]
+    full = _stride2(img)
 
     def g(dy, dx):
         return _sample_at(full, dy, dx)

@@ -146,10 +146,22 @@ def cull_lights(
     dist = jnp.linalg.norm(pos_vs, axis=-1)
     order = jnp.argsort(jnp.where(is_dir, -1.0, dist))   # (L,) rank -> light
     rank = jnp.argsort(order).astype(jnp.int32)          # (L,) light -> rank
-    keys = jnp.where(hit.reshape(ntiles, L), rank[None, :], jnp.int32(L))
-    skeys = jax.lax.sort(keys, dimension=-1)[:, :k]      # (Tiles, K) ranks
+    # Pack (rank, light id) into ONE sort key: rank in the high bits, id in
+    # the low bits. Decoding the id is a mask — the previous order[skeys]
+    # indirection was a (Tiles*K)-row gather from a tiny table, pure HBM
+    # latency (~5.6 ms at 1080p/1k lights, ~3x the sort itself).
+    id_bits = max(1, (L - 1).bit_length())
+    lid = jnp.arange(L, dtype=jnp.int32)
+    keys = jnp.where(
+        hit.reshape(ntiles, L),
+        (rank[None, :] << id_bits) | lid[None, :],
+        jnp.int32(L) << id_bits,
+    )
+    skeys = jax.lax.sort(keys, dimension=-1)[:, :k]      # (Tiles, K) packed
     counts = jnp.sum(hit.reshape(ntiles, L), axis=-1, dtype=jnp.int32)
-    indices = jnp.where(skeys < L, order.astype(jnp.int32)[skeys], -1)
+    indices = jnp.where(
+        (skeys >> id_bits) < L, skeys & ((1 << id_bits) - 1), -1
+    )
     if k < max_per_tile:
         indices = jnp.pad(
             indices, ((0, 0), (0, max_per_tile - k)), constant_values=-1

@@ -62,18 +62,20 @@ def main():
     # per-node over the tunnel is dispatch-latency-dominated and optional)
     if not args.nojit:
         t0 = time.time()
-        targets, state2 = fg.process(scene, state)
+        targets, state = fg.process(scene, state)
         jax.block_until_ready(targets["Final"])
         print(f"# jit compile+frame: {time.time()-t0:.1f}s", file=sys.stderr)
         times = []
         for i in range(args.frames):
-            # vary delta_time to defeat the tunnel's execution memoization
+            # vary delta_time to defeat the tunnel's execution memoization;
+            # THREAD the state like bench.py does so temporal caches (CSM
+            # change-snapshot) hit as they would in a real app
             scene_i = scene.replace(
                 frame=scene.frame.replace(
                     delta_time=scene.frame.delta_time + 1e-6 * (i + 1))
             )
             t0 = time.time()
-            targets, state2 = fg.process(scene_i, state)
+            targets, state = fg.process(scene_i, state)
             jax.block_until_ready(targets["Final"])
             times.append(time.time() - t0)
         print(f"== jitted graph: best {min(times)*1e3:.1f} ms "
@@ -85,7 +87,7 @@ def main():
             frame=scene.frame.replace(delta_time=scene.frame.delta_time + 1e-4)
         )
         with jax.profiler.trace(args.trace):
-            targets, _ = fg.process(scene_t, state)
+            targets, _ = fg.process(scene_t, state)  # state is threaded (warm)
             jax.block_until_ready(targets["Final"])
         print(f"# trace written to {args.trace}", file=sys.stderr)
 
