@@ -97,7 +97,7 @@ def bench_forward(width, height, num_lights, num_objects, frames):
             "shadow_resolution": 1024,
             "env_resolution": 32,
             "bin_capacity": 1024,
-            "bin_rounds": 2,
+            "bin_rounds": 4,
             "max_lights_per_tile": 128,
             "pallas_shading": True,
         },

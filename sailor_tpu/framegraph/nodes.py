@@ -130,11 +130,14 @@ class DepthPrepassNode(BaseNode):
             )
             opaque_valid = culled_valid
 
-        passes, _ = rsetup.bin_all(
+        passes, overflow = rsetup.bin_all(
             opaque_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
             capacity=capacity, rounds=rounds,
         )
+        # surfaced so callers/tests can assert nothing was dropped
+        # (capacity * rounds is a static budget; see bin_all docstring)
+        targets["BinOverflow"] = overflow
         depth, tid = _raster_merge(tri, passes, tiles_y, tiles_x)
         depth, tid = depth[:h, :w], tid[:h, :w]
 
@@ -780,7 +783,14 @@ class EyeAdaptationNode(BaseNode):
     def process(self, ctx, targets):
         hdr = targets["Main"]
         h, w = hdr.shape[:2]
-        hist = hist_k.luminance_histogram(hdr)
+        # exposure statistics from a quarter-res average: 16x less
+        # histogram work, visually identical adaptation
+        q = 4
+        he, we = (h // q) * q, (w // q) * q
+        hdr_q = jax.lax.reduce_window(
+            hdr[:he, :we], 0.0, jax.lax.add, (q, q, 1), (q, q, 1), "VALID"
+        ) * (1.0 / (q * q))
+        hist = hist_k.luminance_histogram(hdr_q)
         if ctx.sharded:
             # exposure is a GLOBAL statistic: sum the per-slice histograms
             # over ICI (the reference's single compute dispatch becomes one
@@ -788,7 +798,8 @@ class EyeAdaptationNode(BaseNode):
             hist = jax.lax.psum(hist, ctx.mesh_axis)
         prev = (ctx.state or {}).get("avg_luminance", jnp.asarray(0.18))
         avg = hist_k.adapt_average_luminance(
-            hist, prev, float(w * ctx.fh), ctx.scene.frame.delta_time + 0.25,
+            hist, prev, float((w // q) * (ctx.fh // q)),
+            ctx.scene.frame.delta_time + 0.25,
             tau=float(ctx.value("EyeAdaptation.Tau", 1.1)),
         )
         mode = str(ctx.config.get("tonemap", "aces"))

@@ -27,8 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sailor_tpu.kernels import common
 
-# Tile shape aligned to the VPU: 8-row sublanes x 128 lanes.
-TILE_H = 32
+# Tile shape aligned to the VPU: 8-row sublanes x 128 lanes. 64-row tiles
+# halve the (tiles x capacity) slot tables behind the raster's pre-gathers
+# (the dominant DepthPrepass cost: slot gathers scale with ntiles*capacity,
+# dead slots included) at the price of denser per-tile candidate lists.
+TILE_H = 64
 TILE_W = 128
 CHUNK = 32  # triangles processed per inner iteration
 

@@ -51,7 +51,7 @@ def main():
         width, height,
         config={
             "z_far": 150.0, "shadow_resolution": 1024, "env_resolution": 32,
-            "bin_capacity": 1024, "bin_rounds": 2, "max_lights_per_tile": 128,
+            "bin_capacity": 1024, "bin_rounds": 4, "max_lights_per_tile": 128,
             "pallas_shading": True,
         },
     )
