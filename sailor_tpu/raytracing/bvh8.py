@@ -377,7 +377,10 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
         new_top = jnp.where(rem > 0, (tbase << 8) | rem, 0)
         stack = jnp.where((col == sp_top[None]) & has[None], new_top[None], stack)
         sp = jnp.where(has & (rem == 0), sp_top, sp)
-        node = jnp.where(has, nxt, node)
+        # dead lanes park on row 0: gather cost tracks unique rows touched,
+        # so pointing every retired lane at one cached row makes the tail
+        # iterations (mostly-dead waves) nearly free
+        node = jnp.where(has, nxt, 0)
         live = live & has
         if any_hit:
             live = live & (tri_best < 0)
