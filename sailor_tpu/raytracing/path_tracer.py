@@ -387,16 +387,26 @@ def render(
         key = jax.random.PRNGKey(0)
     r = width * height
 
-    def sample_pass(acc_and_rays, sample_key):
+    # Per-pixel blue-noise camera jitter with a per-sample R2 rotation
+    # (PathTracer.cpp:1004-1060 BlueNoiseData analog): neighbor pixels get
+    # maximally different jitters, so aliasing noise is high-frequency and
+    # spp converges visibly faster than the previous shared-scalar jitter.
+    from sailor_tpu.raytracing import bluenoise
+
+    bn_u, bn_v = bluenoise.pixel_jitter(height, width)
+    bn_u = jnp.asarray(bn_u)
+    bn_v = jnp.asarray(bn_v)
+
+    def sample_pass(acc_and_rays, per_sample):
+        sample_key, sample_idx = per_sample
         acc, ray_count = acc_and_rays
-        keys = jax.random.split(sample_key, 2 + 5 * max_bounces)
-        ju = jax.random.uniform(keys[0], ())
-        jv = jax.random.uniform(keys[1], ())
+        keys = jax.random.split(sample_key, 5 * max_bounces)
+        ju, jv = bluenoise.rotate((bn_u, bn_v), sample_idx)
         origin, direction = camera_rays(
             camera_pos, view, proj, width, height, ju, jv
         )
         radiance, ray_count = _trace_one_sample(
-            scene, origin, direction, keys[2:], max_bounces, ray_count
+            scene, origin, direction, keys, max_bounces, ray_count
         )
         return (acc + radiance, ray_count), None
 
@@ -405,7 +415,7 @@ def render(
     # shadow rays is ~4e9 rays).
     (acc, rays), _ = jax.lax.scan(
         sample_pass, (acc0, jnp.asarray(0.0, jnp.float32)),
-        jax.random.split(key, spp),
+        (jax.random.split(key, spp), jnp.arange(spp, dtype=jnp.float32)),
     )
     img = (acc / spp).reshape(height, width, 3)
     return img, rays

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from sailor_tpu.parallel import make_mesh, sharded_forward_frame, sharded_path_trace
+from sailor_tpu.raster import tile_raster
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
@@ -21,7 +22,7 @@ def _scene(width, height):
 
 def test_sharded_forward_frame_runs_and_varies():
     mesh = make_mesh(8)
-    width, height = 128, 32 * 8
+    width, height = 128, tile_raster.TILE_H * 8
     scene = _scene(width, height)
     ldr = sharded_forward_frame(scene, width=width, height=height, mesh=mesh)
     img = np.asarray(ldr)
