@@ -64,6 +64,10 @@ class Renderer:
         self.frame_graph = self._build()
         self.state = self.frame_graph.initial_state()
         self.stats = {"gpu_frames": 0, "last_frame_ms": 0.0}
+        # F6 frame capture (RenderDocApi analog, utils/capture.py)
+        from sailor_tpu.utils.capture import FrameCapture
+
+        self.capture = FrameCapture()
 
     def _build(self) -> FrameGraph:
         return FrameGraph(
@@ -87,6 +91,9 @@ class Renderer:
         self._in_flight.append(targets["Final"])
         self.stats["gpu_frames"] += 1
         self.stats["last_frame_ms"] = (time.perf_counter() - t0) * 1e3
+        if self.capture.armed:
+            path = self.capture.capture(targets, state=self.state)
+            SAILOR_LOG(f"Renderer: frame captured to {path}")
         return targets
 
     def wait_idle(self) -> None:
@@ -102,6 +109,8 @@ class EngineLoop:
 
     def __init__(self, world: World, renderer: Renderer, sky=None, stars=None,
                  overlay=None):
+        from sailor_tpu.engine.input import InputState
+
         self.world = world
         self.renderer = renderer
         self.sky = sky
@@ -109,6 +118,10 @@ class EngineLoop:
         self.overlay = overlay  # OverlayContext (ImGuiApi analog) or None
         self._prev_frame = None
         self.frame_index = 0
+        # GlobalInput analog: frontends inject events, components read
+        # world.input during tick, edges reset at frame end
+        self.input = InputState()
+        world.input = self.input
 
     def process_cpu_frame(self, dt: float):
         """World tick -> scene snapshot -> renderer push (one frame).
@@ -130,6 +143,7 @@ class EngineLoop:
         )
         self._prev_frame = scene.frame
         targets = self.renderer.push_frame(scene)
+        self.input.end_frame()
         self.frame_index += 1
         return targets
 

@@ -174,3 +174,45 @@ class EditorComponent(Component):
         super().__init__(**kw)
         self.show_grid = show_grid
         self.move_speed = move_speed
+        self.yaw = 0.0
+        self.pitch = 0.0
+
+    def tick(self, dt: float):
+        """Input-driven fly camera (EditorComponent.cpp:23-176: WASD/QE
+        move, right-drag look). Reads the GlobalInput analog injected by
+        EngineLoop (world.input); no-op when no frontend drives input."""
+        inp = getattr(self.game_object.world, "input", None)
+        if inp is None:
+            return
+        from sailor_tpu.core import math3d as m3
+        from sailor_tpu.engine import input as ik
+
+        if inp.is_button_down(1):  # right mouse: look
+            dx, dy = inp.cursor_delta()
+            self.yaw -= dx * 0.005
+            self.pitch = float(
+                np.clip(self.pitch - dy * 0.005, -1.4, 1.4)
+            )
+        rot = m3.quat_from_euler(self.yaw, self.pitch, 0.0)
+        self.game_object.rotation = np.asarray(rot)
+
+        fwd = np.asarray(m3.quat_rotate(rot, np.asarray([0.0, 0.0, -1.0])))
+        right = np.asarray(m3.quat_rotate(rot, np.asarray([1.0, 0.0, 0.0])))
+        move = np.zeros(3)
+        if inp.is_key_down(ik.KEY_W):
+            move += fwd
+        if inp.is_key_down(ik.KEY_S):
+            move -= fwd
+        if inp.is_key_down(ik.KEY_D):
+            move += right
+        if inp.is_key_down(ik.KEY_A):
+            move -= right
+        if inp.is_key_down(ik.KEY_E):
+            move += [0.0, 1.0, 0.0]
+        if inp.is_key_down(ik.KEY_Q):
+            move -= [0.0, 1.0, 0.0]
+        speed = self.move_speed * (3.0 if inp.is_key_down(ik.KEY_SHIFT) else 1.0)
+        if np.any(move != 0.0):
+            self.game_object.position = (
+                np.asarray(self.game_object.position) + move * (speed * dt)
+            ).tolist()

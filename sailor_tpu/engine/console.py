@@ -39,6 +39,7 @@ class Console:
         self.register("stats.memory", self._cmd_stats_memory)
         self.register("world.save", self._cmd_world_save)
         self.register("refresh", self._cmd_refresh)
+        self.register("capture", self._cmd_capture)
         # benchmark commands (reference: memory/vector/set/map/list/octree.benchmark)
         from sailor_tpu.utils import benchmarks
 
@@ -54,6 +55,14 @@ class Console:
         n = self.assets.scan_content_folder()
         reloaded = self.assets.check_hot_reload()
         return f"scanned {n} assets, hot-reloaded {len(reloaded)}"
+
+    def _cmd_capture(self, args) -> str:
+        """Arm a frame capture (F6 / RenderDocApi::TriggerCapture analog);
+        the renderer dumps the NEXT frame's targets to Captures/."""
+        if self.renderer is None or not hasattr(self.renderer, "capture"):
+            return "no renderer attached"
+        self.renderer.capture.trigger()
+        return "capture armed for next frame"
 
     def _cmd_stats_memory(self, args) -> str:
         """GPU/host arena occupancy (Renderer.cpp stats.memory analog)."""

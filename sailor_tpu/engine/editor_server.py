@@ -38,9 +38,17 @@ class EditorServer:
 
     def start(self, renderer=None, sky=None) -> None:
         from sailor_tpu.engine.app import EngineLoop
+        from sailor_tpu.engine.input import InputState
 
         if renderer is not None:
             self.engine_loop = EngineLoop(self.world, renderer, sky=sky)
+            self.input = self.engine_loop.input
+        else:
+            # headless protocol mode still carries input state so editor
+            # frontends can drive components (GlobalInput analog)
+            self.input = InputState()
+            if self.world is not None:
+                self.world.input = self.input
         self.running = True
 
     def stop(self) -> None:

@@ -68,6 +68,19 @@ async function poll(){
   const c=document.getElementById('console');
   c.textContent=m.join('\\n'); c.scrollTop=c.scrollHeight;
 }
+let evq=[];
+function pushEv(e){evq.push(e); if(evq.length>32) flushEv();}
+async function flushEv(){ if(!evq.length) return;
+  const b=JSON.stringify(evq); evq=[];
+  fetch('/api/input', {method:'POST', body:b}); }
+const vp=document.getElementById('viewport');
+window.addEventListener('keydown',e=>pushEv({type:'keydown',code:e.keyCode}));
+window.addEventListener('keyup',e=>pushEv({type:'keyup',code:e.keyCode}));
+vp.addEventListener('mousedown',e=>pushEv({type:'mousedown',button:e.button}));
+vp.addEventListener('mouseup',e=>pushEv({type:'mouseup',button:e.button}));
+vp.addEventListener('mousemove',e=>pushEv({type:'mousemove',x:e.offsetX,y:e.offsetY}));
+vp.addEventListener('contextmenu',e=>e.preventDefault());
+setInterval(flushEv, 100);
 refreshWorld(); setInterval(poll, 500); setInterval(refreshWorld, 3000);
 </script></body></html>"""
 
@@ -152,6 +165,25 @@ class EditorWebApp:
         if method == "GET" and url.path == "/api/messages":
             return 200, "application/json", json.dumps(
                 self.editor.get_messages(64)
+            ).encode()
+        if method == "POST" and url.path == "/api/input":
+            # route frontend key/mouse events into the GlobalInput analog
+            inp = getattr(self.editor, "input", None)
+            if inp is not None:
+                for ev in json.loads(body.decode() or "[]"):
+                    t = ev.get("type")
+                    if t == "keydown":
+                        inp.key_down(int(ev.get("code", -1)))
+                    elif t == "keyup":
+                        inp.key_up(int(ev.get("code", -1)))
+                    elif t == "mousedown":
+                        inp.button_down(int(ev.get("button", 0)))
+                    elif t == "mouseup":
+                        inp.button_up(int(ev.get("button", 0)))
+                    elif t == "mousemove":
+                        inp.move_cursor(ev.get("x", 0), ev.get("y", 0))
+            return 200, "application/json", json.dumps(
+                {"ok": inp is not None}
             ).encode()
         if method == "POST" and url.path == "/api/update":
             q = parse_qs(url.query)

@@ -96,3 +96,22 @@ def test_live_http_server():
         assert doc["objects"]
     finally:
         server.shutdown()
+
+
+def test_input_endpoint_routes_to_engine():
+    """/api/input feeds the InputState (GlobalInput analog)."""
+    from sailor_tpu.engine import input as ik
+
+    app, ed = _app()
+    events = [
+        {"type": "keydown", "code": ik.KEY_W},
+        {"type": "mousemove", "x": 7, "y": 9},
+        {"type": "mousedown", "button": 1},
+    ]
+    status, _, payload = app.handle("POST", "/api/input",
+                                    json.dumps(events).encode())
+    assert status == 200 and json.loads(payload)["ok"]
+    inp = ed.input
+    assert inp.is_key_down(ik.KEY_W)
+    assert inp.is_button_down(1)
+    assert inp.cursor == (7, 9)

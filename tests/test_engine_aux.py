@@ -154,3 +154,68 @@ def test_cli_main(tmp_path):
 
     img = imageio.imread(out)
     assert img.shape == (96, 128, 3)
+
+
+def test_frame_capture(tmp_path):
+    """RenderDocApi analog: console `capture` arms a dump of the next
+    frame's targets (PNG + manifest)."""
+    import json
+    import os
+
+    from sailor_tpu.engine.app import Renderer
+    from sailor_tpu.engine.console import Console
+    from sailor_tpu.utils.capture import FrameCapture
+
+    cap = FrameCapture(str(tmp_path))
+    cap.trigger()
+    assert cap.armed
+    targets = {
+        "Final": np.clip(np.random.rand(16, 16, 3), 0, 1).astype(np.float32),
+        "Depth": np.random.rand(16, 16).astype(np.float32),
+        "LightCounts": np.zeros((2, 2), np.int32),
+        "state_out": {},
+    }
+    path = cap.capture(targets)
+    assert not cap.armed
+    man = json.load(open(os.path.join(path, "manifest.json")))
+    assert "Final" in man["targets"] and man["targets"]["Final"]["file"].endswith(".png")
+    assert os.path.exists(os.path.join(path, man["targets"]["Depth"]["file"]))
+
+    class _R:
+        capture = cap
+
+    c = Console(renderer=_R())
+    assert "armed" in c.execute("capture")
+    assert cap.armed
+
+
+def test_input_driven_editor_camera():
+    """InputState (Platform/Win32/Input.h analog) drives the
+    EditorComponent fly camera through EngineLoop.world.input."""
+    from sailor_tpu.engine import input as ik
+    from sailor_tpu.engine.components import EditorComponent
+    from sailor_tpu.engine.input import InputState
+    from sailor_tpu.engine.world import World
+
+    w = World()
+    go = w.instantiate("editor")
+    cam = go.add_component(EditorComponent(move_speed=2.0))
+    inp = InputState()
+    w.input = inp
+
+    inp.key_down(ik.KEY_W)
+    assert inp.is_key_down(ik.KEY_W) and inp.is_key_pressed(ik.KEY_W)
+    p0 = np.asarray(go.position)
+    w.tick(0.5)
+    inp.end_frame()
+    assert not inp.is_key_pressed(ik.KEY_W)  # edge cleared
+    p1 = np.asarray(go.position)
+    assert np.linalg.norm(p1 - p0) > 0.5  # moved forward
+
+    # right-drag look changes yaw
+    inp.button_down(1)
+    inp.move_cursor(0, 0)
+    inp.end_frame()
+    inp.move_cursor(40, 0)
+    w.tick(0.1)
+    assert abs(cam.yaw) > 0.05
