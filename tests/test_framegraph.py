@@ -210,3 +210,41 @@ def test_debug_compose_modes():
     assert diff.max() > 0.04
     # cascade view recolors the frame
     assert np.abs(outs["cascades"] - outs["none"]).max() > 0.05
+
+
+def test_env_incremental_face_updates():
+    """SkyNode incremental env update parity: a changed sun refreshes one
+    cubemap face per prepare(); the IBL maps recompute when the sweep
+    completes."""
+    from sailor_tpu.framegraph.nodes import EnvironmentNode
+    from sailor_tpu.kernels.sky import SkyParams
+    from sailor_tpu.framegraph.graph import RenderContext
+
+    scene = _scene_view()
+    node = EnvironmentNode({})
+    cfg = {"env_resolution": 16, "env_incremental": True}
+
+    def ctx_for(sky):
+        s = scene.replace(sky=sky)
+        return RenderContext(width=W, height=H, scene=s, state={}, config=cfg)
+
+    ctx = ctx_for(SkyParams.default(sun_direction=(-0.4, -0.8, -0.3)))
+    node.prepare(ctx)  # first bake: full
+    cube0 = np.asarray(ctx.state["env/cube"])
+    irr0 = np.asarray(ctx.state["env/irradiance"])
+
+    moved = SkyParams.default(sun_direction=(0.6, -0.6, 0.1))
+    for i in range(5):
+        ctx = ctx_for(moved)
+        node.prepare(ctx)
+        # mid-sweep: irradiance still the OLD bake
+        np.testing.assert_array_equal(
+            np.asarray(ctx.state["env/irradiance"]), irr0)
+    ctx = ctx_for(moved)
+    node.prepare(ctx)  # 6th face completes the sweep -> derived maps refresh
+    assert np.abs(np.asarray(ctx.state["env/cube"]) - cube0).max() > 1e-3
+    assert np.abs(np.asarray(ctx.state["env/irradiance"]) - irr0).max() > 1e-4
+    # stable key afterwards: no further work (cache hit path)
+    ctx = ctx_for(moved)
+    node.prepare(ctx)
+    assert "env/cube" in ctx.state
