@@ -75,6 +75,131 @@ void sailor_arena_destroy(void* arena) {
 }
 
 // ---------------------------------------------------------------------------
+// Pool / multi-pool allocators (Runtime/Memory/Memory.h TPoolAllocator /
+// TMultiPoolAllocator analogs): fixed-size blocks carved from pages with an
+// intrusive free list, and a size-class router over pools. Occupancy stats
+// feed the `stats.memory` console command (Renderer.cpp GPU-arena stats).
+// ---------------------------------------------------------------------------
+
+struct Pool {
+    size_t block_size;
+    size_t blocks_per_page;
+    std::vector<char*> pages;
+    void* free_list = nullptr;   // intrusive: first word of a free block
+    size_t capacity = 0;         // total blocks
+    size_t used = 0;             // live blocks
+    std::mutex mu;
+};
+
+static void pool_grow(Pool* p) {
+    size_t bs = p->block_size < sizeof(void*) ? sizeof(void*) : p->block_size;
+    char* page = new char[bs * p->blocks_per_page];
+    p->pages.push_back(page);
+    for (size_t i = p->blocks_per_page; i-- > 0;) {
+        void** blk = reinterpret_cast<void**>(page + i * bs);
+        *blk = p->free_list;
+        p->free_list = blk;
+    }
+    p->capacity += p->blocks_per_page;
+}
+
+void* sailor_pool_create(size_t block_size, size_t blocks_per_page) {
+    auto* p = new Pool();
+    p->block_size = block_size ? block_size : 64;
+    p->blocks_per_page = blocks_per_page ? blocks_per_page : 256;
+    return p;
+}
+
+void* sailor_pool_alloc(void* pool) {
+    auto* p = static_cast<Pool*>(pool);
+    std::lock_guard<std::mutex> lock(p->mu);
+    if (!p->free_list) pool_grow(p);
+    void** blk = static_cast<void**>(p->free_list);
+    p->free_list = *blk;
+    p->used++;
+    return blk;
+}
+
+void sailor_pool_free(void* pool, void* blk) {
+    auto* p = static_cast<Pool*>(pool);
+    std::lock_guard<std::mutex> lock(p->mu);
+    *static_cast<void**>(blk) = p->free_list;
+    p->free_list = blk;
+    p->used--;
+}
+
+// out[0]=pages, out[1]=capacity blocks, out[2]=used blocks, out[3]=reserved bytes
+void sailor_pool_stats(void* pool, size_t* out) {
+    auto* p = static_cast<Pool*>(pool);
+    std::lock_guard<std::mutex> lock(p->mu);
+    size_t bs = p->block_size < sizeof(void*) ? sizeof(void*) : p->block_size;
+    out[0] = p->pages.size();
+    out[1] = p->capacity;
+    out[2] = p->used;
+    out[3] = p->pages.size() * bs * p->blocks_per_page;
+}
+
+void sailor_pool_destroy(void* pool) {
+    auto* p = static_cast<Pool*>(pool);
+    for (char* pg : p->pages) delete[] pg;
+    delete p;
+}
+
+struct MultiPool {
+    // size classes: 16, 32, 64, ... 65536 (12 classes); larger -> malloc
+    static const int kClasses = 12;
+    Pool* pools[kClasses];
+    std::atomic<size_t> oversize_bytes{0};
+};
+
+static int mpool_class(size_t size) {
+    size_t c = 16; int idx = 0;
+    while (c < size && idx < MultiPool::kClasses) { c <<= 1; ++idx; }
+    return idx < MultiPool::kClasses ? idx : -1;
+}
+
+void* sailor_mpool_create() {
+    auto* mp = new MultiPool();
+    size_t c = 16;
+    for (int i = 0; i < MultiPool::kClasses; ++i, c <<= 1)
+        mp->pools[i] = static_cast<Pool*>(sailor_pool_create(c, 4096 / (i + 1) + 16));
+    return mp;
+}
+
+void* sailor_mpool_alloc(void* mpool, size_t size) {
+    auto* mp = static_cast<MultiPool*>(mpool);
+    int idx = mpool_class(size);
+    if (idx < 0) { mp->oversize_bytes += size; return new char[size]; }
+    return sailor_pool_alloc(mp->pools[idx]);
+}
+
+void sailor_mpool_free(void* mpool, void* blk, size_t size) {
+    auto* mp = static_cast<MultiPool*>(mpool);
+    int idx = mpool_class(size);
+    if (idx < 0) { mp->oversize_bytes -= size; delete[] static_cast<char*>(blk); return; }
+    sailor_pool_free(mp->pools[idx], blk);
+}
+
+// out[0]=total pages, out[1]=capacity blocks, out[2]=used blocks,
+// out[3]=reserved bytes (incl. oversize)
+void sailor_mpool_stats(void* mpool, size_t* out) {
+    auto* mp = static_cast<MultiPool*>(mpool);
+    out[0] = out[1] = out[2] = out[3] = 0;
+    for (int i = 0; i < MultiPool::kClasses; ++i) {
+        size_t s[4];
+        sailor_pool_stats(mp->pools[i], s);
+        out[0] += s[0]; out[1] += s[1]; out[2] += s[2]; out[3] += s[3];
+    }
+    out[3] += mp->oversize_bytes.load();
+}
+
+void sailor_mpool_destroy(void* mpool) {
+    auto* mp = static_cast<MultiPool*>(mpool);
+    for (int i = 0; i < MultiPool::kClasses; ++i) sailor_pool_destroy(mp->pools[i]);
+    delete mp;
+}
+
+// ---------------------------------------------------------------------------
 // Task scheduler (Runtime/Tasks/Scheduler.h analog).
 // Thread classes mirror the reference's Main(2)/Worker(1)/Render(0)/RHI(3)
 // affinities; tasks carry dependency lists (Join) and completion waits.

@@ -83,6 +83,23 @@ class Console:
                 f"transform pool: {self.world.transforms.pool.num_alive}"
                 f"/{self.world.transforms.pool.capacity}"
             )
+        # native multipool occupancy (TMultiPoolAllocator stats; the
+        # reference's stats.memory dumps GPU arena occupancy the same way)
+        try:
+            from sailor_tpu import native_bridge as nb
+
+            if nb.available():
+                mp = getattr(self, "_mpool", None)
+                if mp is None:
+                    mp = self._mpool = nb.MultiPool()
+                s = mp.stats()
+                lines.append(
+                    f"native multipool: {s['used']}/{s['capacity']} blocks, "
+                    f"{s['pages']} pages, "
+                    f"{s['reserved_bytes']/1e6:.1f}MB reserved"
+                )
+        except Exception:
+            pass
         return "\n".join(lines) or "no devices"
 
     def _cmd_world_save(self, args) -> str:

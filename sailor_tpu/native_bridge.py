@@ -75,6 +75,21 @@ def load(build: bool = True):
                                            ctypes.c_size_t]
         lib.sailor_arena_reset.argtypes = [ctypes.c_void_p]
         lib.sailor_arena_destroy.argtypes = [ctypes.c_void_p]
+        szp = ctypes.POINTER(ctypes.c_size_t)
+        lib.sailor_pool_create.restype = ctypes.c_void_p
+        lib.sailor_pool_create.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        lib.sailor_pool_alloc.restype = ctypes.c_void_p
+        lib.sailor_pool_alloc.argtypes = [ctypes.c_void_p]
+        lib.sailor_pool_free.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.sailor_pool_stats.argtypes = [ctypes.c_void_p, szp]
+        lib.sailor_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.sailor_mpool_create.restype = ctypes.c_void_p
+        lib.sailor_mpool_alloc.restype = ctypes.c_void_p
+        lib.sailor_mpool_alloc.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+        lib.sailor_mpool_free.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_size_t]
+        lib.sailor_mpool_stats.argtypes = [ctypes.c_void_p, szp]
+        lib.sailor_mpool_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -226,3 +241,66 @@ class Scheduler:
             self.shutdown()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Pool / multi-pool allocators (TPoolAllocator / TMultiPoolAllocator analogs)
+# ---------------------------------------------------------------------------
+
+
+class Pool:
+    """Fixed-block native pool with occupancy stats (Memory.h
+    TPoolAllocator analog)."""
+
+    def __init__(self, block_size: int = 64, blocks_per_page: int = 256):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.sailor_pool_create(block_size, blocks_per_page)
+
+    def alloc(self) -> int:
+        return self._lib.sailor_pool_alloc(self._h)
+
+    def free(self, ptr: int) -> None:
+        self._lib.sailor_pool_free(self._h, ptr)
+
+    def stats(self) -> dict:
+        out = (ctypes.c_size_t * 4)()
+        self._lib.sailor_pool_stats(self._h, out)
+        return {"pages": out[0], "capacity": out[1], "used": out[2],
+                "reserved_bytes": out[3]}
+
+    def destroy(self) -> None:
+        if self._h:
+            self._lib.sailor_pool_destroy(self._h)
+            self._h = None
+
+
+class MultiPool:
+    """Size-class router over pools (TMultiPoolAllocator analog):
+    16B..64KB pow2 classes, oversize falls through to the system heap."""
+
+    def __init__(self):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.sailor_mpool_create()
+
+    def alloc(self, size: int) -> int:
+        return self._lib.sailor_mpool_alloc(self._h, size)
+
+    def free(self, ptr: int, size: int) -> None:
+        self._lib.sailor_mpool_free(self._h, ptr, size)
+
+    def stats(self) -> dict:
+        out = (ctypes.c_size_t * 4)()
+        self._lib.sailor_mpool_stats(self._h, out)
+        return {"pages": out[0], "capacity": out[1], "used": out[2],
+                "reserved_bytes": out[3]}
+
+    def destroy(self) -> None:
+        if self._h:
+            self._lib.sailor_mpool_destroy(self._h)
+            self._h = None

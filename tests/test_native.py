@@ -114,3 +114,36 @@ def test_arena():
     p3 = lib.sailor_arena_alloc(a, 100, 16)
     assert p3 == p1  # bump pointer reset
     lib.sailor_arena_destroy(a)
+
+
+def test_pool_allocator():
+    """TPoolAllocator analog: distinct block pointers, free-list reuse,
+    occupancy stats."""
+    nb = pytest.importorskip("sailor_tpu.native_bridge")
+    if not nb.available():
+        pytest.skip("native library unavailable")
+    p = nb.Pool(block_size=48, blocks_per_page=8)
+    ptrs = [p.alloc() for _ in range(20)]  # spans 3 pages
+    assert len(set(ptrs)) == 20
+    s = p.stats()
+    assert s["used"] == 20 and s["capacity"] >= 24 and s["pages"] >= 3
+    p.free(ptrs.pop())
+    assert p.stats()["used"] == 19
+    again = p.alloc()
+    assert again is not None
+    p.destroy()
+
+
+def test_multipool_allocator():
+    nb = pytest.importorskip("sailor_tpu.native_bridge")
+    if not nb.available():
+        pytest.skip("native library unavailable")
+    mp = nb.MultiPool()
+    small = mp.alloc(24)       # 32B class
+    big = mp.alloc(1 << 20)    # oversize -> heap
+    s = mp.stats()
+    assert s["used"] >= 1 and s["reserved_bytes"] > (1 << 20)
+    mp.free(small, 24)
+    mp.free(big, 1 << 20)
+    assert mp.stats()["used"] == 0
+    mp.destroy()
