@@ -34,8 +34,9 @@ from sailor_tpu.raytracing import bvh as bvh2
 ROW = 72          # row width in f32 lanes
 MAX_CHILDREN = 8
 MAX_LEAF = 7
-MAX_STACK = 16    # >= max depth of the 8-wide tree; ordered traversal can
-                  # push 2 entries (near/far group) per visited node
+MAX_STACK = 12    # >= 2x depth of the 8-wide tree (near/far groups per
+                  # level, ~5 levels for 1M tris) + slack; every stack
+                  # touch is an (S, R) pass so S is a direct cost
 
 # Internal row layout
 _I_MIN = 0        # [0:24]  minx[8], miny[8], minz[8]
@@ -353,16 +354,19 @@ def intersect(bvh8: BVH8, origin, direction, t_max=None, *, any_hit: bool = Fals
         # garbage node index (base - 127) -> false hits. Dropping the push
         # loses at most one subtree on pathologically deep trees; never
         # corrupts traversal.
+        # Both pushes land in ONE (S, R) select pass: far goes at sp, near
+        # above it (or at sp when no far) — each full-stack where is an
+        # HBM round trip over (S, R), ~2 of the ~12 compute fusions per
+        # iteration, so folding two passes into one is a direct win.
         push_far = (mask_far > 0) & live & (sp < MAX_STACK)
+        sp_near = sp + push_far.astype(jnp.int32)
+        push_near = (mask_near > 0) & live & (sp_near < MAX_STACK)
+        at_far = (col == sp[None]) & push_far[None]
+        at_near = (col == sp_near[None]) & push_near[None]
         stack = jnp.where(
-            (col == sp[None]) & push_far[None], entry_far[None], stack
+            at_near, entry_near[None], jnp.where(at_far, entry_far[None], stack)
         )
-        sp = sp + push_far.astype(jnp.int32)
-        push_near = (mask_near > 0) & live & (sp < MAX_STACK)
-        stack = jnp.where(
-            (col == sp[None]) & push_near[None], entry_near[None], stack
-        )
-        sp = sp + push_near.astype(jnp.int32)
+        sp = sp_near + push_near.astype(jnp.int32)
 
         # pop: take top entry, extract lowest set bit -> next node.
         has = (sp > 0) & live
