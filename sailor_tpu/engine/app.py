@@ -87,8 +87,31 @@ class Renderer:
         SAILOR_LOG("Renderer: refreshing frame graph")
         self.frame_graph = self._build()
 
+    def fix_lost_device(self) -> None:
+        """Device-loss recovery (Renderer::FixLostDevice,
+        Renderer.cpp:166-172: on a lost device the reference rebuilds the
+        swapchain + frame graph). The TPU analog: drop every in-flight
+        async result, rebuild the jitted graph, and reseed temporal state
+        — the next frame re-dispatches from scratch."""
+        SAILOR_LOG("Renderer: device lost — rebuilding frame graph")
+        self._in_flight.clear()
+        self.frame_graph = self._build()
+        self.state = self.frame_graph.initial_state()
+        self.stats["device_losses"] = self.stats.get("device_losses", 0) + 1
+
     def push_frame(self, scene_view):
-        """Dispatch one frame; returns the (async) target dict."""
+        """Dispatch one frame; returns the (async) target dict.
+
+        A device error (TPU fault / tunnel drop, jax.errors.JaxRuntimeError)
+        triggers FixLostDevice and ONE retry — matching the reference's
+        per-frame ShouldFixLostDevice poll."""
+        try:
+            return self._push_frame(scene_view)
+        except jax.errors.JaxRuntimeError:
+            self.fix_lost_device()
+            return self._push_frame(scene_view)
+
+    def _push_frame(self, scene_view):
         if len(self._in_flight) >= self.max_frames_in_flight:
             jax.block_until_ready(self._in_flight.pop(0))
         t0 = time.perf_counter()

@@ -240,3 +240,38 @@ def test_supersampled_renderer_resolves():
     assert targets["FinalSS"].shape == (128, 256, 3)
     assert targets["Final"].shape == (64, 128, 3)
     assert np.isfinite(np.asarray(targets["Final"])).all()
+
+
+def test_fix_lost_device_recovers():
+    """Renderer::FixLostDevice analog: a device error during dispatch
+    rebuilds the frame graph and the frame retries successfully."""
+    import jax
+
+    from sailor_tpu.engine import World
+    from sailor_tpu.engine.app import EngineLoop, Renderer
+    from sailor_tpu.kernels.sky import SkyParams
+
+    world = World.load("content/Editor.world")
+    r = Renderer(
+        "content/DefaultRenderer.renderer", 128, 64,
+        config={"bin_capacity": 256, "bin_rounds": 2, "sky_clouds": False,
+                "shadow_resolution": 128, "env_resolution": 16},
+    )
+    loop = EngineLoop(world, r, sky=SkyParams.default())
+
+    boom = {"n": 0}
+    real_process = r.frame_graph.process
+
+    class FakeLostGraph:
+        def prepare(self, scene, state):
+            pass
+
+        def process(self, scene, state):
+            boom["n"] += 1
+            raise jax.errors.JaxRuntimeError("UNAVAILABLE: device lost")
+
+    r.frame_graph = FakeLostGraph()
+    targets = loop.process_cpu_frame(1 / 60)  # fails once, rebuilds, retries
+    assert boom["n"] == 1
+    assert r.stats.get("device_losses") == 1
+    assert np.isfinite(np.asarray(targets["Final"])).all()
