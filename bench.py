@@ -80,12 +80,120 @@ def _build_scene(width, height, num_lights, num_objects, rng_seed=11):
     return SceneView.create(geo, lights, frame, sky=sky)
 
 
-def bench_forward(width, height, num_lights, num_objects, frames):
+DUCK_GLB = "/root/reference/Content/Models/DuckGlb/Duck.glb"
+
+
+def _build_content_scene(width, height, num_lights, instances, rng_seed=13):
+    """Sponza-class scene from REAL glTF content: a grid of textured Duck.glb
+    instances (~4.2k tris each) over the ground plane, loaded through the
+    full importer (textures + materials). Parity: the reference ships and
+    renders real models (ModelImporter.cpp:382-520, Content/Models/*)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sailor_tpu.assets import gltf, primitives
+    from sailor_tpu.assets.materials import MaterialTable
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.kernels.lights import DIRECTIONAL, POINT, Lights
+    from sailor_tpu.kernels.sky import SkyParams
+    from sailor_tpu.raster.setup import Geometry
+    from sailor_tpu.rhi.scene_view import SceneView
+    from sailor_tpu.rhi.types import FrameData
+
+    soup, mats = gltf.load_merged(DUCK_GLB)
+    g = gltf.GLTF.load(DUCK_GLB)
+    images = g.load_texture_images()
+
+    rng = np.random.default_rng(rng_seed)
+    floor = primitives.plane(60.0)
+    n_floor_mat = len(mats["albedo"])
+    pos_l = [np.asarray(floor["position"], np.float32)]
+    nrm_l = [np.asarray(floor["normal"], np.float32)]
+    uv_l = [np.asarray(floor["uv"], np.float32)]
+    col_l = [np.asarray(floor["color"], np.float32) * [0.55, 0.55, 0.58, 1.0]]
+    idx_l = [np.asarray(floor["indices"], np.int32)]
+    mat_l = [np.full(len(floor["indices"]), n_floor_mat, np.int32)]
+    voff = len(floor["position"])
+    side = int(np.ceil(np.sqrt(instances)))
+    for i in range(instances):
+        gx, gz = i % side, i // side
+        ang = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        off = np.asarray(
+            [(gx - side / 2) * 3.2 + rng.uniform(-0.5, 0.5), 0.0,
+             (gz - side / 2) * 3.2 + rng.uniform(-0.5, 0.5)], np.float32,
+        )
+        pos_l.append(np.asarray(soup["position"]) @ rot.T + off)
+        nrm_l.append(np.asarray(soup["normal"]) @ rot.T)
+        uv_l.append(np.asarray(soup["uv"]))
+        col_l.append(np.asarray(soup["color"]))
+        idx_l.append(np.asarray(soup["indices"]) + voff)
+        mat_l.append(np.asarray(soup["material_id"]))
+        voff += len(soup["position"])
+    # floor gets its own untextured material row appended to the table
+    floor_row = {
+        "albedo": [[0.6, 0.6, 0.62]], "metallic": [0.0], "roughness": [0.7],
+        "emissive": [[0, 0, 0]], "albedo_texture": [-1],
+        "normal_texture": [-1], "queue": [0], "alpha_cutoff": [0.5],
+        "opacity": [1.0], "transmission": [0.0], "ior": [1.5],
+        "atten_color": [[1, 1, 1]], "atten_dist": [0.0],
+    }
+    table = {
+        k: np.concatenate(
+            [np.asarray(v), np.asarray(floor_row[k], np.asarray(v).dtype)]
+        )
+        for k, v in mats.items() if k in floor_row
+    }
+    materials = MaterialTable.from_host(table, images, texture_size=256)
+
+    geo = Geometry(
+        position=jnp.asarray(np.concatenate(pos_l)),
+        normal=jnp.asarray(np.concatenate(nrm_l)),
+        uv=jnp.asarray(np.concatenate(uv_l)),
+        color=jnp.asarray(np.concatenate(col_l)),
+        indices=jnp.asarray(np.concatenate(idx_l)),
+        material_id=jnp.asarray(np.concatenate(mat_l)),
+    )
+    n = num_lights
+    lp = np.stack(
+        [rng.uniform(-22, 22, n), rng.uniform(0.3, 3.0, n),
+         rng.uniform(-22, 22, n)], -1,
+    )
+    lights = Lights.from_host(
+        types=[DIRECTIONAL] + [POINT] * n,
+        positions=np.concatenate([[[0, 0, 0]], lp]),
+        directions=np.concatenate(
+            [[[-0.35, -0.7, -0.3]], np.tile([[0, -1, 0]], (n, 1))]),
+        intensities=np.concatenate(
+            [[[3.0, 2.9, 2.6]], rng.uniform(0.3, 1, (n, 3)) * 6]),
+        attenuations=[[1, 0, 0.8]] * (n + 1),
+        radii=[0.0] + list(rng.uniform(2.0, 5.0, n)),
+    )
+    cam = jnp.asarray([20.0, 9.0, 22.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.8, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, width / height, 0.1, 150.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 150.0, dt=1 / 60)
+    sky = SkyParams.default(sun_direction=(-0.35, -0.7, -0.3))
+    print(
+        f"# content scene: {geo.indices.shape[0]} tris "
+        f"({instances} Duck.glb instances, textured), {n} lights, "
+        f"{width}x{height}", file=sys.stderr,
+    )
+    return SceneView.create(geo, lights, frame, sky=sky, materials=materials)
+
+
+def bench_forward(width, height, num_lights, num_objects, frames,
+                  content=False, instances=60):
     import jax
 
     from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
 
-    scene = _build_scene(width, height, num_lights, num_objects)
+    if content:
+        scene = _build_content_scene(width, height, num_lights, instances)
+    else:
+        scene = _build_scene(width, height, num_lights, num_objects)
     fg = FrameGraph(
         FrameGraphAsset.load(
             os.path.join(os.path.dirname(__file__), "content/DefaultRenderer.renderer")
@@ -132,8 +240,9 @@ def bench_forward(width, height, num_lights, num_objects, frames):
     fps = 1.0 / best
     print(f"# avg frame time per {frames}-frame span (s): "
           f"{[round(t, 4) for t in times]}", file=sys.stderr)
+    tag = " textured-GLTF" if content else ""
     return {
-        "metric": f"forward+ FPS @{width}x{height}, {num_lights} lights",
+        "metric": f"forward+{tag} FPS @{width}x{height}, {num_lights} lights",
         "value": round(fps, 2),
         "unit": "FPS",
         "vs_baseline": round(fps / 60.0, 3),
@@ -200,16 +309,46 @@ def bench_trace(size, spp, bounces):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="quick smoke config")
-    ap.add_argument("--trace", action="store_true", help="path tracer benchmark")
+    ap.add_argument("--trace", action="store_true",
+                    help="path tracer benchmark only")
+    ap.add_argument("--forward-only", action="store_true",
+                    help="skip the path tracer benchmark")
     ap.add_argument("--frames", type=int, default=5)
     args = ap.parse_args()
 
     if args.trace:
         out = bench_trace(256 if args.small else 512, 4 if args.small else 64, 4)
-    elif args.small:
+        print(json.dumps(out))
+        return
+
+    if args.small:
         out = bench_forward(640, 384, 128, 24, args.frames)
     else:
         out = bench_forward(1920, 1088, 1000, 96, args.frames)
+
+    # ALL metrics in one run: tracer + real-content results ride in the
+    # final JSON line (driver records the last line; extra stdout lines
+    # could shadow the FPS metric) and are echoed to stderr for the tail.
+    extra = []
+    if not args.forward_only:
+        try:
+            tr = bench_trace(256 if args.small else 512,
+                             4 if args.small else 64, 4)
+            print("# tracer: " + json.dumps(tr), file=sys.stderr)
+            extra.append(tr)
+        except Exception as e:  # tracer failure must not hide the FPS metric
+            print(f"# tracer benchmark failed: {e}", file=sys.stderr)
+        if os.path.exists(DUCK_GLB) and not args.small:
+            # Sponza-class REAL-content frame: ~250k tris of textured GLTF
+            try:
+                ct = bench_forward(1920, 1088, 1000, 0, args.frames,
+                                   content=True, instances=60)
+                print("# content: " + json.dumps(ct), file=sys.stderr)
+                extra.append(ct)
+            except Exception as e:
+                print(f"# content benchmark failed: {e}", file=sys.stderr)
+    if extra:
+        out["extra"] = extra
     print(json.dumps(out))
 
 

@@ -279,10 +279,23 @@ class FrameGraph:
                     out[name] = jax.lax.all_gather(
                         targets[name], axis, axis=0, tiled=True
                     )
+                # Propagate the FULL temporal state (advisor r2): replicated
+                # entries (csm/*, avg_luminance — psum'd in-node, particle
+                # world-space sim) pass through; row-local entries (HiZ mips
+                # built from the local Depth slice, particle trails) are
+                # gathered to full height so state shapes match
+                # initial_state() and the single-device graph. h_local is a
+                # multiple of 32 so the min-pyramid windows (<=16 rows for
+                # the culling levels) never straddle a shard boundary.
                 new_state = dict(state)
                 st = targets.get("state_out", {})
-                if "avg_luminance" in st:
-                    new_state["avg_luminance"] = st["avg_luminance"]
+                for k, v in st.items():
+                    if k.startswith("hiz/") or k == "particles/trail":
+                        new_state[k] = jax.lax.all_gather(
+                            v, axis, axis=0, tiled=True
+                        )
+                    else:
+                        new_state[k] = v
                 return out, new_state
 
             fn = shard_map(
@@ -368,7 +381,7 @@ class FrameGraph:
             state["csm/evsm"] = jnp.zeros((c, s, s, 4), jnp.float32)
             # sentinel forces the first frame dirty (|key - (-1e30)| > 0;
             # never use inf: inf - inf = nan and nan > 0 is False)
-            state["csm/key"] = jnp.full((c * 16 + 1,), -1e30, jnp.float32)
+            state["csm/key"] = jnp.full((c * 16 + 3,), -1e30, jnp.float32)
         if self.config.get("hiz_culling", False):
             # seed the HiZ culling pyramid with zeros (reverse-Z 0 = "no
             # occluder", culls nothing) so the jit signature is stable

@@ -45,13 +45,14 @@ class ClearNode(BaseNode):
         return targets
 
 
-def _raster_merge(tri, passes, tiles_y, tiles_x, z_bounds=None):
+def _raster_merge(tri, passes, tiles_y, tiles_x, z_bounds=None,
+                  screen_aabb=None):
     """Rasterize all bin passes and keep the nearest (max reverse-Z) winner."""
     depth = tid = None
     for bins, counts in passes:
         d_r, t_r = tile_raster.rasterize_tiles(
             tri, bins, tiles_y=tiles_y, tiles_x=tiles_x, counts=counts,
-            z_bounds=z_bounds,
+            z_bounds=z_bounds, screen_aabb=screen_aabb,
         )
         if depth is None:
             depth, tid = d_r, t_r
@@ -103,6 +104,22 @@ class DepthPrepassNode(BaseNode):
         tri, aabb = rsetup.triangle_setup(
             geo, vp, width=w, height=ctx.fh, cull="back"
         )
+        # HiZ occlusion culling against the PREVIOUS frame's min-pyramid
+        # (ComputeMeshCulling.shader analog; see raster/hiz_cull.py). The
+        # pyramid rides through temporal state (FULL-height even when
+        # sharded — gathered in process_sharded); test in global rows
+        # BEFORE the shard row-shift rewrites edge/zplane constants.
+        state = ctx.state or {}
+        hiz_mask = None
+        if ctx.config.get("hiz_culling", False) and "hiz/mip0" in state:
+            from sailor_tpu.raster import hiz_cull
+
+            mips = [state[k] for k in sorted(state) if k.startswith("hiz/mip")]
+            flat, offsets, shapes = hiz_cull.build_flat_pyramid(mips)
+            hiz_mask = hiz_cull.occlusion_cull(
+                tri.valid, aabb, tri.zplane, flat,
+                offsets=offsets, shapes=shapes, base_w=w, base_h=ctx.fh,
+            )
         if ctx.sharded:
             xmin, xmax, ymin, ymax = aabb
             tri = rsetup.shift_viewport_rows(tri, ctx.row0)
@@ -112,61 +129,99 @@ class DepthPrepassNode(BaseNode):
         queue_of = _queue_of_raster_tris(scene, tri)
         opaque_valid = tri.valid if queue_of is None else tri.valid & (queue_of == 0)
 
-        # HiZ occlusion culling against the PREVIOUS frame's min-pyramid
-        # (ComputeMeshCulling.shader analog; see raster/hiz_cull.py). The
-        # pyramid rides through temporal state; initial zeros cull nothing.
-        state = ctx.state or {}
-        if ctx.config.get("hiz_culling", False) and "hiz/mip0" in state:
-            from sailor_tpu.raster import hiz_cull
-
-            mips = [state[k] for k in sorted(state) if k.startswith("hiz/mip")]
-            flat, offsets, shapes = hiz_cull.build_flat_pyramid(mips)
-            culled_valid = hiz_cull.occlusion_cull(
-                opaque_valid, aabb, tri.zplane, flat,
-                offsets=offsets, shapes=shapes, base_w=w, base_h=h,
-            )
+        if hiz_mask is not None:
+            culled_valid = opaque_valid & hiz_mask
             targets["HiZCulledCount"] = jnp.sum(
                 opaque_valid & ~culled_valid, dtype=jnp.int32
             )
             opaque_valid = culled_valid
 
-        passes, overflow = rsetup.bin_all(
-            opaque_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-            capacity=capacity, rounds=rounds,
-        )
-        # surfaced so callers/tests can assert nothing was dropped
-        # (capacity * rounds is a static budget; see bin_all docstring)
-        targets["BinOverflow"] = overflow
-        depth, tid = _raster_merge(tri, passes, tiles_y, tiles_x)
+        if ctx.config.get("ragged_raster", not cfg.interpret_pallas()):
+            # ragged sorted bins: ONE raster pass, no slot tables / rounds
+            rb = rsetup.bin_sorted(
+                opaque_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+            )
+            targets["BinOverflow"] = rb[5]  # big-list overflow only
+
+            def raster(z_bounds=None, _rb=rb):
+                return tile_raster.rasterize_ragged(
+                    tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
+                    z_bounds=z_bounds,
+                )
+        else:
+            passes, overflow = rsetup.bin_all(
+                opaque_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+                capacity=capacity, rounds=rounds,
+            )
+            targets["BinOverflow"] = overflow
+
+            def raster(z_bounds=None, _p=passes):
+                return _raster_merge(tri, _p, tiles_y, tiles_x,
+                                     z_bounds=z_bounds, screen_aabb=aabb)
+
+        depth, tid = raster()
         depth, tid = depth[:h, :w], tid[:h, :w]
 
         mats = scene.materials
         if queue_of is not None and mats.has_masked:
             masked_valid = tri.valid & (queue_of == 1)
-            passes_m, _ = rsetup.bin_all(
-                masked_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                capacity=capacity, rounds=1,
-            )
+            if ctx.config.get("ragged_raster", not cfg.interpret_pallas()):
+                rb_m = rsetup.bin_sorted(
+                    masked_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                    tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+                )
+
+                def raster_m(z_bounds, _rb=rb_m):
+                    return tile_raster.rasterize_ragged(
+                        tri, aabb, *_rb[:5], tiles_y=tiles_y,
+                        tiles_x=tiles_x, z_bounds=z_bounds,
+                    )
+            else:
+                passes_m, _ = rsetup.bin_all(
+                    masked_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                    tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+                    capacity=capacity, rounds=1,
+                )
+
+                def raster_m(z_bounds, _p=passes_m):
+                    return _raster_merge(tri, _p, tiles_y, tiles_x,
+                                         z_bounds=z_bounds, screen_aabb=aabb)
+
             inv_vp = jnp.linalg.inv(vp)
             cam = scene.frame.camera_position
-            zhi = jnp.full((h, w), 2.0)
-            undecided = jnp.ones((h, w), bool)
-            for _ in range(int(ctx.config.get("masked_layers", 3))):
-                d_k, t_k = _raster_merge(
-                    tri, passes_m, tiles_y, tiles_x, z_bounds=(depth, zhi)
-                )
+
+            def peel_layer(carry):
+                depth, tid, zhi, undecided = carry
+                d_k, t_k = raster_m((depth, zhi))
                 d_k, t_k = d_k[:h, :w], t_k[:h, :w]
                 alpha, cutoff = interpolate.resolve_alpha(
-                    geo, tri, t_k, inv_vp, cam, mats, ctx.row0, ctx.full_height
+                    geo, tri, t_k, inv_vp, cam, mats, ctx.row0,
+                    ctx.full_height
                 )
                 hit = t_k >= 0
                 passed = hit & (alpha >= cutoff) & undecided
-                depth = jnp.where(passed, d_k, depth)
-                tid = jnp.where(passed, t_k, tid)
-                undecided = undecided & hit & ~passed
-                zhi = jnp.where(hit, d_k, 0.0)
+                return (
+                    jnp.where(passed, d_k, depth),
+                    jnp.where(passed, t_k, tid),
+                    jnp.where(hit, d_k, 0.0),
+                    undecided & hit & ~passed,
+                )
+
+            carry = (depth, tid, jnp.full((h, w), 2.0),
+                     jnp.ones((h, w), bool))
+            for layer in range(int(ctx.config.get("masked_layers", 3))):
+                # early-out: when a layer leaves no undecided pixels the
+                # remaining peels are skipped at runtime (lax.cond takes
+                # one branch; layer 0 always runs — all pixels undecided)
+                if layer == 0:
+                    carry = peel_layer(carry)
+                else:
+                    carry = jax.lax.cond(
+                        jnp.any(carry[3]), peel_layer, lambda c: c, carry
+                    )
+            depth, tid = carry[0], carry[1]
 
         targets["Depth"] = depth
         targets["TriId"] = tid
@@ -239,6 +294,15 @@ class ShadowPrepassNode(BaseNode):
                 scene.geometry, mat, width=s, height=s, cull="none",
                 clip=False,  # ortho light projection: w == 1, no near clip
             )
+            if ctx.config.get("ragged_raster", not cfg.interpret_pallas()):
+                rb = rsetup.bin_sorted(
+                    tri.valid, aabb, tiles_x=tiles, tiles_y=tiles_y,
+                    tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+                )
+                d, _ = tile_raster.rasterize_ragged(
+                    tri, aabb, *rb[:5], tiles_y=tiles_y, tiles_x=tiles,
+                )
+                return d[:s, :s]
             passes, _ = rsetup.bin_all(
                 tri.valid, aabb, tiles_x=tiles, tiles_y=tiles_y,
                 tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
@@ -247,7 +311,8 @@ class ShadowPrepassNode(BaseNode):
             d = None
             for bins, counts in passes:
                 d_r, _ = tile_raster.rasterize_tiles(
-                    tri, bins, tiles_y=tiles_y, tiles_x=tiles, counts=counts
+                    tri, bins, tiles_y=tiles_y, tiles_x=tiles, counts=counts,
+                    screen_aabb=aabb,
                 )
                 d = d_r if d is None else jnp.maximum(d, d_r)
             return d[:s, :s]
@@ -272,10 +337,20 @@ class ShadowPrepassNode(BaseNode):
             # ::Equals): when the cascade matrices AND the geometry are
             # unchanged since last frame, reuse the cached maps — a static
             # camera skips the entire 4-cascade raster (~25 ms at 1024^2).
-            geo_sig = jnp.sum(scene.geometry.position * 0.37331) + jnp.float32(
-                scene.geometry.indices.shape[0]
-            )
-            key = jnp.concatenate([mats.reshape(-1), geo_sig[None]])
+            # Signature must change under ANY rigid motion of any object.
+            # sum(p) = V*centroid misses rotations about the centroid and
+            # sum(p*p) is rotation-invariant too (advisor r2) — fold in a
+            # dot with fixed per-vertex pseudo-random weights: a rotation
+            # moves each vertex differently against its own weight.
+            pos = scene.geometry.position
+            widx = jnp.arange(pos.shape[0], dtype=jnp.float32)[:, None]
+            wgt = jnp.sin(widx * 12.9898 + jnp.arange(3.0)[None, :] * 78.233)
+            geo_sig = jnp.stack([
+                jnp.sum(pos * 0.37331),
+                jnp.sum(pos * wgt) * 0.11217,
+                jnp.float32(scene.geometry.indices.shape[0]),
+            ])
+            key = jnp.concatenate([mats.reshape(-1), geo_sig])
             prev_key = state["csm/key"]
             dirty = jnp.any(jnp.abs(key - prev_key) > 0.0)
             maps, moments = jax.lax.cond(
@@ -410,9 +485,12 @@ class EnvironmentNode(BaseNode):
             d = cm.face_directions(res)[face]
             env = self._cache["env/cube"].at[face].set(radiance(d))
             self._next_face += 1
-            if self._next_face >= 6:
+            if self._next_face >= 6 and key == self._pending_key:
+                # mark clean ONLY when the key held for the whole sweep —
+                # the reset above restarts on any mid-sweep change, so all
+                # six faces were rendered under this exact key (advisor r2)
                 self._cache = self._derive(env, res)
-                self._cache_key = key     # sweep complete: cache is `key`
+                self._cache_key = key
                 self._pending_key = None
                 self._next_face = 0
             else:
@@ -762,20 +840,34 @@ class RenderTransparentNode(BaseNode):
         tvalid = tri.valid & (
             mats.queue[geo.material_id[tri.src_id]] == 2
         )
-        passes, _ = rsetup.bin_all(
-            tvalid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-            capacity=int(ctx.config.get("bin_capacity", 512)), rounds=1,
-        )
+        if ctx.config.get("ragged_raster", not cfg.interpret_pallas()):
+            rb = rsetup.bin_sorted(
+                tvalid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+            )
+
+            def raster_t(z_bounds, _rb=rb):
+                return tile_raster.rasterize_ragged(
+                    tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
+                    z_bounds=z_bounds,
+                )
+        else:
+            passes, _ = rsetup.bin_all(
+                tvalid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
+                capacity=int(ctx.config.get("bin_capacity", 512)), rounds=1,
+            )
+
+            def raster_t(z_bounds, _p=passes):
+                return _raster_merge(tri, _p, tiles_y, tiles_x,
+                                     z_bounds=z_bounds, screen_aabb=aabb)
 
         K = int(ctx.config.get("transparent_layers", 3))
         zlo = targets["Depth"]
         zhi = jnp.full((h, w), 2.0)
         layers = []
         for _ in range(K):
-            d_k, t_k = _raster_merge(
-                tri, passes, tiles_y, tiles_x, z_bounds=(zlo, zhi)
-            )
+            d_k, t_k = raster_t((zlo, zhi))
             d_k, t_k = d_k[:h, :w], t_k[:h, :w]
             layers.append(t_k)
             zhi = jnp.where(t_k >= 0, d_k, 0.0)
@@ -1049,6 +1141,14 @@ class ParticlesNode(BaseNode):
             # motion trail (PushConstants m_traceDecay/m_traceFrames): an
             # exponentially decayed splat history in the temporal state
             trail = state.get("particles/trail")
+            if (
+                trail is not None and ctx.sharded
+                and trail.shape[0] != splat.shape[0]
+            ):
+                # state trail is full-height (gathered); take the local rows
+                trail = jax.lax.dynamic_slice_in_dim(
+                    trail, ctx.row0, splat.shape[0], 0
+                )
             if trail is None or trail.shape != splat.shape:
                 trail = jnp.zeros_like(splat)
             trail = trail * trace_decay + splat

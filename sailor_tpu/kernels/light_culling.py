@@ -150,17 +150,23 @@ def cull_lights(
     # the low bits. Decoding the id is a mask — the previous order[skeys]
     # indirection was a (Tiles*K)-row gather from a tiny table, pure HBM
     # latency (~5.6 ms at 1080p/1k lights, ~3x the sort itself).
+    # uint32 keys: with L up to 65,535 (LightingSystem.MAX_LIGHTS) and
+    # id_bits=16, rank<<16 and the L<<16 empty sentinel exceed int31 and
+    # would wrap negative, corrupting the sort (advisor r2).
     id_bits = max(1, (L - 1).bit_length())
-    lid = jnp.arange(L, dtype=jnp.int32)
+    assert id_bits + L.bit_length() <= 32, "light count overflows sort key"
+    lid = jnp.arange(L, dtype=jnp.uint32)
     keys = jnp.where(
         hit.reshape(ntiles, L),
-        (rank[None, :] << id_bits) | lid[None, :],
-        jnp.int32(L) << id_bits,
+        (rank[None, :].astype(jnp.uint32) << id_bits) | lid[None, :],
+        jnp.uint32(L) << id_bits,
     )
     skeys = jax.lax.sort(keys, dimension=-1)[:, :k]      # (Tiles, K) packed
     counts = jnp.sum(hit.reshape(ntiles, L), axis=-1, dtype=jnp.int32)
     indices = jnp.where(
-        (skeys >> id_bits) < L, skeys & ((1 << id_bits) - 1), -1
+        (skeys >> id_bits) < L,
+        (skeys & ((1 << id_bits) - 1)).astype(jnp.int32),
+        -1,
     )
     if k < max_per_tile:
         indices = jnp.pad(

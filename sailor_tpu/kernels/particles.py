@@ -69,8 +69,12 @@ def splat_particles(
     valid = valid & (sx + r_px > 0) & (sx - r_px < width) \
         & (sy + r_px > 0) & (sy - r_px < height)
 
-    tiles_x = width // TILE
-    tiles_y = height // TILE
+    # round the tile grid UP and pad the pixel planes to match (viewports
+    # like 1080 rows are not multiples of 16); crop the splat at the end
+    pw = -(-width // TILE) * TILE
+    ph = -(-height // TILE) * TILE
+    tiles_x = pw // TILE
+    tiles_y = ph // TILE
     passes, _overflow = bin_all(
         valid,
         (sx - r_px, sx + r_px, sy - r_px, sy + r_px),
@@ -84,12 +88,14 @@ def splat_particles(
          colors[:, 0], colors[:, 1], colors[:, 2], colors[:, 3]], axis=1
     )  # (N, 8)
 
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
-    pix_x, pix_y = jnp.meshgrid(xs, ys, indexing="xy")  # (H, W)
+    ys = jnp.arange(ph, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(pw, dtype=jnp.float32) + 0.5
+    pix_x, pix_y = jnp.meshgrid(xs, ys, indexing="xy")  # (PH, PW)
 
-    acc = jnp.zeros((height, width, 3))
-    bg = depth_rev <= 0.0
+    depth_p = jnp.pad(depth_rev, ((0, ph - height), (0, pw - width)),
+                      constant_values=1.0)  # padded rows: nearest -> no splat
+    acc = jnp.zeros((ph, pw, 3))
+    bg = depth_p <= 0.0
     for bins, counts in passes:
         c = bins.shape[-1]
         live = bins >= 0                       # (Ty, Tx, C)
@@ -116,11 +122,11 @@ def splat_particles(
             fall = jnp.maximum(1.0 - d2 / r2, 0.0) ** 2
             # soft depth: fade where geometry is closer (higher reverse-Z);
             # background (depth 0) never occludes
-            fade = jnp.clip((z_p - depth_rev) / soft_depth + 1.0, 0.0, 1.0)
+            fade = jnp.clip((z_p - depth_p) / soft_depth + 1.0, 0.0, 1.0)
             wgt = fall * jnp.where(bg, 1.0, fade) * a_p
             return acc + wgt[..., None] * jnp.stack(
                 [up(row[4]), up(row[5]), up(row[6])], axis=-1
             )
 
         acc = jax.lax.fori_loop(0, n_loop, slot_step, acc)
-    return acc
+    return acc[:height, :width]

@@ -395,6 +395,106 @@ def bin_all(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "big_capacity"),
+)
+def bin_sorted(
+    valid,
+    screen_aabb,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    big_capacity: int = 64,
+):
+    """Ragged sort-based binning: the sorted candidate array IS the bin.
+
+    Same key construction as bin_all (<=4 corner-tile keys per small
+    triangle, one sort), but instead of materializing fixed-capacity
+    (Tiles, C) slot tables per round — whose (Tiles*C*rounds)-row gathers
+    dominated DepthPrepass at 1080p — the tile-major sorted order is
+    consumed directly by tile_raster.rasterize_ragged, which DMA-streams
+    each tile's exact [start, start+count) segment from HBM. No capacity,
+    no rounds, no overflow for small triangles, ONE raster pass.
+
+    Returns (order, starts, counts, big_ids, n_big, overflow):
+      order   (4T,) int32 — tile-major candidate triangle ids, -1 sentinel
+      starts  (Tiles,) int32 — segment start per tile
+      counts  (Tiles,) int32 — segment length per tile
+      big_ids (big_capacity,) int32 — compacted >2x2-tile triangles, -1 pad
+      n_big   () int32 — live big count (clamped to capacity)
+      overflow () int32 — big triangles beyond capacity (small never drop)
+    """
+    xmin, xmax, ymin, ymax = screen_aabb
+    t = valid.shape[0]
+    ntiles = tiles_y * tiles_x
+    if (ntiles + 1) * t >= 2**31:
+        raise ValueError(
+            f"bin_sorted: {t} raster triangles x {ntiles} tiles overflows "
+            "the int32 sort key"
+        )
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    small = valid & (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
+    big = valid & ~small
+
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+    corners = [(ty0, tx0), (ty0, tx1), (ty1, tx0), (ty1, tx1)]
+    keys = []
+    seen = []
+    for (cy, cx) in corners:
+        tile = cy * tiles_x + cx
+        dup = jnp.zeros((t,), bool)
+        for p in seen:
+            dup = dup | (p == tile)
+        k = jnp.where(small & ~dup, tile * t + tri_ids, ntiles * t)
+        seen.append(tile)
+        keys.append(k)
+    keys = jnp.concatenate(keys)              # (4T,)
+    skeys = jnp.sort(keys)
+    s_tile = skeys // t
+    order = jnp.where(s_tile < ntiles, skeys - s_tile * t, -1)
+
+    n4 = skeys.shape[0]
+    steps = max(1, n4.bit_length())
+
+    def lower_bound(targets):
+        lo = jnp.zeros(targets.shape, jnp.int32)
+        hi = jnp.full(targets.shape, n4, jnp.int32)
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            v = s_tile[jnp.minimum(mid, n4 - 1)]
+            ge = v >= targets
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        return lo
+
+    tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
+    starts = lower_bound(tile_ids)
+    counts = lower_bound(tile_ids + 1) - starts
+
+    # big triangles: compact ids (every tile tests all of them — B is tiny)
+    bcount = jnp.cumsum(big.astype(jnp.int32))
+    n_big_raw = bcount[-1]
+    bsteps = max(1, (t - 1).bit_length())
+    bslots = jnp.arange(big_capacity, dtype=jnp.int32)
+    lo = jnp.zeros((big_capacity,), jnp.int32)
+    hi = jnp.full((big_capacity,), t - 1, jnp.int32)
+    for _ in range(bsteps):
+        mid = (lo + hi) >> 1
+        ge = bcount[mid] >= bslots + 1
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, t - 1))
+    big_ids = jnp.where(bslots < n_big_raw, hi, -1)
+    n_big = jnp.minimum(n_big_raw, big_capacity)
+    overflow = jnp.maximum(n_big_raw - big_capacity, 0)
+    return order, starts, counts, big_ids, n_big, overflow
+
+
+@functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "capacity")
 )
 def bin_triangles(

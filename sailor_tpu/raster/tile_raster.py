@@ -37,7 +37,7 @@ CHUNK = 32  # triangles processed per inner iteration
 
 
 def _raster_kernel(count_ref, setup_ref, ids_ref, depth_ref, tid_ref,
-                   *, zlo_ref=None, zhi_ref=None):
+                   *, with_aabb=False, zlo_ref=None, zhi_ref=None):
     """One program = one screen tile.
 
     count_ref:  (Tiles,) scalar-prefetch SMEM — live candidate count per
@@ -72,7 +72,7 @@ def _raster_kernel(count_ref, setup_ref, ids_ref, depth_ref, tid_ref,
     def body(k, carry):
         best_z, best_id = carry
         sl = pl.ds(k * CHUNK, CHUNK)
-        s = setup_ref[sl, :]     # (CHUNK, 12)
+        s = setup_ref[sl, :]     # (CHUNK, 12) or (CHUNK, 16) with aabb
         e = s[:, 0:9]            # edge coeffs
         zp = s[:, 9:12]          # depth plane
         ids = ids_ref[sl, 0]     # (CHUNK,)
@@ -92,6 +92,14 @@ def _raster_kernel(count_ref, setup_ref, ids_ref, depth_ref, tid_ref,
         inside = (
             (edge_val(0) >= eps) & (edge_val(1) >= eps) & (edge_val(2) >= eps)
         )
+        if with_aabb:
+            # sliver-coverage clamp (see _test_chunk docstring)
+            inside &= (
+                (exp_px >= s[:, 12][:, None, None] + eps)
+                & (exp_px <= s[:, 13][:, None, None] - eps)
+                & (exp_py >= s[:, 14][:, None, None] + eps)
+                & (exp_py <= s[:, 15][:, None, None] - eps)
+            )
         z = (
             zp[:, 0][:, None, None] * exp_px
             + zp[:, 1][:, None, None] * exp_py
@@ -123,9 +131,253 @@ def _raster_kernel(count_ref, setup_ref, ids_ref, depth_ref, tid_ref,
     tid_ref[...] = best_id
 
 
+def _test_chunk(s, px, py, zlo, zhi):
+    """Edge/depth-test one packed candidate chunk against a pixel tile.
+
+    ``s``: (C, 17) rows — edge coeffs (9), zplane (3), screen AABB
+    (xmin, xmax, ymin, ymax), float id (-1 dead).
+    Returns (zm (C, TH, TW) masked reverse-Z or -1, ids (C,) int32).
+
+    The AABB clamp matters for sub-pixel SLIVERS: edge functions are
+    half-plane tests with a -0.05 px watertightness tolerance, so a
+    triangle thinner than 0.1 px "covers" its entire supporting line —
+    across the whole screen. Bounding coverage to the triangle's own
+    screen AABB (+tolerance) kills the streak, and makes candidates from
+    adjacent segments in the ragged raster's CHUNK-aligned DMA windows
+    provably reject (their AABB misses this tile by construction).
+    """
+    e = s[:, 0:9]
+    zp = s[:, 9:12]
+    ids = s[:, 16].astype(jnp.int32)
+    exp_px = px[None]
+    exp_py = py[None]
+
+    def edge_val(j):
+        a = e[:, 3 * j + 0][:, None, None]
+        b = e[:, 3 * j + 1][:, None, None]
+        cc = e[:, 3 * j + 2][:, None, None]
+        return a * exp_px + b * exp_py + cc
+
+    eps = -0.05
+    inside = (
+        (edge_val(0) >= eps) & (edge_val(1) >= eps) & (edge_val(2) >= eps)
+    )
+    inside &= (
+        (exp_px >= s[:, 12][:, None, None] + eps)
+        & (exp_px <= s[:, 13][:, None, None] - eps)
+        & (exp_py >= s[:, 14][:, None, None] + eps)
+        & (exp_py <= s[:, 15][:, None, None] - eps)
+    )
+    z = (
+        zp[:, 0][:, None, None] * exp_px
+        + zp[:, 1][:, None, None] * exp_py
+        + zp[:, 2][:, None, None]
+    )
+    ok = inside & (ids >= 0)[:, None, None] & (z > 0.0) & (z <= 1.0)
+    if zlo is not None:
+        ok &= (z > zlo[None]) & (z < zhi[None])
+    return jnp.where(ok, z, -1.0), ids
+
+
+def _merge_chunk(carry, zm, ids):
+    best_z, best_id = carry
+    k_z = jnp.max(zm, axis=0)
+    k_id = jnp.max(jnp.where(zm == k_z[None], ids[:, None, None], -1), axis=0)
+    take = k_z > best_z
+    return jnp.where(take, k_z, best_z), jnp.where(take, k_id, best_id)
+
+
+def _raster_kernel_flat(sc_ref, rows_ref, big_ref, depth_ref, tid_ref, *,
+                        ntx: int, n_steps: int, rchunk: int,
+                        zlo_ref=None, zhi_ref=None):
+    """Flat-grid ragged raster: one program = one CHUNK of the tile-major
+    sorted candidate array, mapped to its owning tile by the
+    scalar-prefetched step maps (built in rasterize_ragged). The rows
+    block streams via the ordinary BlockSpec pipeline — no slot tables,
+    no dead slots, no per-tile rounds; total steps == total live chunks.
+
+    sc_ref layout: [chunk_of_step | tile_of_step | first_of_step | n_big],
+    each (n_steps,). ``first`` steps initialize the tile's output block
+    and run the shared big-triangle phase; every step then merges its
+    chunk into the (revisited, VMEM-resident) output block. Chunks at
+    segment boundaries carry a few candidates of adjacent tiles — their
+    screen AABB cannot overlap this tile, so _test_chunk's AABB clamp
+    rejects them.
+    """
+    s = pl.program_id(0)
+    tile = sc_ref[n_steps + s]
+    first = sc_ref[2 * n_steps + s]
+    n_big = sc_ref[3 * n_steps]
+    ti = tile // ntx
+    tj = tile - ti * ntx
+
+    oy = (ti * TILE_H).astype(jnp.float32)
+    ox = (tj * TILE_W).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = oy + iy.astype(jnp.float32) + 0.5
+    px = ox + ix.astype(jnp.float32) + 0.5
+    zlo = zlo_ref[...] if zlo_ref is not None else None
+    zhi = zhi_ref[...] if zhi_ref is not None else None
+
+    @pl.when(first == 1)
+    def _():
+        best = (
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+        )
+
+        def big_body(k, carry):
+            sb = big_ref[pl.ds(k * rchunk, rchunk), :]
+            zm, ids = _test_chunk(sb, px, py, zlo, zhi)
+            return _merge_chunk(carry, zm, ids)
+
+        nb_chunks = (n_big + (rchunk - 1)) // rchunk
+        best = jax.lax.fori_loop(0, nb_chunks, big_body, best)
+        depth_ref[...] = best[0]
+        tid_ref[...] = best[1]
+
+    zm, ids = _test_chunk(rows_ref[...], px, py, zlo, zhi)
+    bz, bi = _merge_chunk((depth_ref[...], tid_ref[...]), zm, ids)
+    depth_ref[...] = bz
+    tid_ref[...] = bi
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "chunk"))
+def rasterize_ragged(setup, screen_aabb, order, starts, counts, big_ids,
+                     n_big, *, tiles_y: int, tiles_x: int, z_bounds=None,
+                     chunk: int = 128):
+    """Raster the whole viewport in ONE pass from bin_sorted's ragged bins.
+
+    Replaces rasterize_tiles + per-round merge: no slot tables, no
+    capacity/rounds, no small-triangle overflow. ``screen_aabb`` is the
+    same (xmin, xmax, ymin, ymax) tuple handed to bin_sorted (packed into
+    the rows for the sliver-coverage clamp). Returns (depth, tid).
+    """
+    ab = jnp.stack(screen_aabb, axis=1)       # (R, 4)
+    table = jnp.concatenate(
+        [setup.edge.reshape(-1, 9), setup.zplane, ab], axis=1
+    )  # (R, 16)
+
+    def packed_rows(idx):
+        live = idx >= 0
+        r = table[jnp.maximum(idx, 0)]
+        idf = jnp.where(live, idx, -1).astype(jnp.float32)[:, None]
+        return jnp.concatenate([r, idf], axis=1)  # (N, 17)
+
+    rows = packed_rows(order)
+    n = rows.shape[0]
+    npad = common.round_up(n, chunk) + chunk  # step windows never run off
+    dead = jnp.zeros((npad - n, 17), jnp.float32).at[:, 16].set(-1.0)
+    rows = jnp.concatenate([rows, dead])
+
+    bpad = common.round_up(big_ids.shape[0], chunk)
+    big_rows = packed_rows(big_ids)
+    if bpad != big_rows.shape[0]:
+        bdead = jnp.zeros(
+            (bpad - big_rows.shape[0], 17), jnp.float32
+        ).at[:, 16].set(-1.0)
+        big_rows = jnp.concatenate([big_rows, bdead])
+
+    # --- step maps: one grid step per live CHUNK (tile-major) --------------
+    ntiles = tiles_y * tiles_x
+    starts = starts.astype(jnp.int32)
+    counts = counts.astype(jnp.int32)
+    ends = starts + counts
+    c0 = starts // chunk
+    # every tile gets >= 1 step (init + big phase even when its segment is
+    # empty); segments not CHUNK-aligned share boundary chunks with their
+    # neighbors — such chunks are visited once per owning tile.
+    c1 = jnp.maximum((ends + chunk - 1) // chunk, c0 + 1)
+    spt = c1 - c0                                        # steps per tile
+    S = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(spt, dtype=jnp.int32)]
+    )                                                    # (ntiles+1,)
+    n_steps = npad // chunk + 2 * ntiles                 # static bound
+    s_idx = jnp.arange(n_steps, dtype=jnp.int32)
+
+    # tile_of_step = searchsorted_right(S, s) - 1, fixed-step binary search
+    bsteps = max(1, ntiles.bit_length())
+    lo = jnp.zeros((n_steps,), jnp.int32)
+    hi = jnp.full((n_steps,), ntiles + 1, jnp.int32)
+    for _ in range(bsteps + 1):
+        mid = (lo + hi) >> 1
+        v = S[jnp.minimum(mid, ntiles)]
+        gt = v > s_idx
+        hi = jnp.where(gt, mid, hi)
+        lo = jnp.where(gt, lo, mid + 1)
+    tile_of = jnp.clip(lo - 1, 0, ntiles - 1)
+    live = s_idx < S[ntiles]
+    tile_of = jnp.where(live, tile_of, ntiles - 1)       # tail -> last tile
+    chunk_of = jnp.where(
+        live, c0[tile_of] + (s_idx - S[tile_of]), c1[ntiles - 1] - 1
+    )
+    first_of = (live & (s_idx == S[tile_of])).astype(jnp.int32)
+    sc = jnp.concatenate(
+        [chunk_of, tile_of, first_of,
+         jnp.broadcast_to(n_big.astype(jnp.int32)[None], (n_steps,))]
+    )
+
+    def tile_map(s, sc):
+        t = sc[n_steps + s]
+        return (t // tiles_x, t - (t // tiles_x) * tiles_x)
+
+    in_specs = [
+        pl.BlockSpec((chunk, 17), lambda s, sc: (sc[s], 0)),
+        pl.BlockSpec((bpad, 17), lambda s, sc: (0, 0)),
+    ]
+    inputs = [sc, rows, big_rows]
+    kernel = functools.partial(_raster_kernel_flat, ntx=tiles_x,
+                               n_steps=n_steps, rchunk=chunk)
+    if z_bounds is not None:
+        H, W = tiles_y * TILE_H, tiles_x * TILE_W
+        zlo, zhi = z_bounds
+        if zlo.shape != (H, W):
+            ph, pw = H - zlo.shape[0], W - zlo.shape[1]
+            zlo = jnp.pad(zlo, ((0, ph), (0, pw)))
+            zhi = jnp.pad(zhi, ((0, ph), (0, pw)), constant_values=2.0)
+        in_specs += [
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+        ]
+        inputs += [zlo, zhi]
+
+        def kernel(sc_ref, rows_ref, big_ref, zlo_ref, zhi_ref,
+                   depth_ref, tid_ref):
+            return _raster_kernel_flat(
+                sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
+                ntx=tiles_x, n_steps=n_steps, rchunk=chunk,
+                zlo_ref=zlo_ref, zhi_ref=zhi_ref,
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+        ),
+    )
+    depth, tid = common.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32),
+        ),
+        # data-dependent output block maps keep the FULL outputs VMEM-
+        # resident (Mosaic can't stream writes it can't predict): ~17 MB at
+        # 1080p, over the 16 MB default scoped limit. v5e has 128 MB of
+        # physical VMEM — raise the cap.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(*inputs)
+    return depth, tid
+
+
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x"))
 def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
-                    z_bounds=None):
+                    z_bounds=None, screen_aabb=None):
     """Run the visibility raster over all tiles.
 
     ``setup``: TriangleSetup; ``bins``: (Ty, Tx, C) candidate ids;
@@ -140,9 +392,14 @@ def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
     assert c % CHUNK == 0, "bin capacity must be a CHUNK multiple"
     safe = jnp.maximum(bins, 0)
     # Fold (Ty, Tx) into rows: per-tile data as (Ty*Tx*C, k) row blocks.
-    # Pack edge+zplane so the per-candidate fetch is ONE gather.
-    table = jnp.concatenate([setup.edge.reshape(-1, 9), setup.zplane], axis=1)
-    rows = table[safe].reshape(-1, 12)
+    # Pack edge+zplane (+ screen AABB for the sliver clamp) so the
+    # per-candidate fetch is ONE gather.
+    parts = [setup.edge.reshape(-1, 9), setup.zplane]
+    if screen_aabb is not None:
+        parts.append(jnp.stack(screen_aabb, axis=1))
+    table = jnp.concatenate(parts, axis=1)
+    width = table.shape[1]
+    rows = table[safe].reshape(-1, width)
     ids = bins.reshape(-1, 1)
     if counts is None:
         counts = jnp.sum(bins >= 0, axis=-1, dtype=jnp.int32)
@@ -155,11 +412,11 @@ def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
         return (i, j)
 
     in_specs = [
-        pl.BlockSpec((c, 12), row_map),
+        pl.BlockSpec((c, width), row_map),
         pl.BlockSpec((c, 1), row_map),
     ]
     inputs = [counts, rows, ids]
-    kernel = _raster_kernel
+    kernel = functools.partial(_raster_kernel, with_aabb=screen_aabb is not None)
     if z_bounds is not None:
         H, W = tiles_y * TILE_H, tiles_x * TILE_W
         zlo, zhi = z_bounds
@@ -178,6 +435,7 @@ def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
                    depth_ref, tid_ref):
             return _raster_kernel(
                 count_ref, setup_ref, ids_ref, depth_ref, tid_ref,
+                with_aabb=screen_aabb is not None,
                 zlo_ref=zlo_ref, zhi_ref=zhi_ref,
             )
 

@@ -23,6 +23,7 @@ from flax import struct
 from sailor_tpu.core import math3d as m3
 from sailor_tpu.raytracing import bvh8 as bvh_mod
 from sailor_tpu.raytracing import lighting_model as lm
+from sailor_tpu.raytracing import sweep as sweep_mod
 
 
 @struct.dataclass
@@ -58,10 +59,26 @@ class TraceScene:
     # textures skip those code paths entirely at trace time.
     has_volumes: bool = struct.field(pytree_node=False, default=False)
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    # Optional MXU sweep intersector (sweep.py): replaces BVH8 traversal
+    # when set (moderate scenes; see scene_from_mesh tracer=).
+    sweep: sweep_mod.SweepScene | None = None
 
     @property
     def num_triangles(self) -> int:
         return self.tri_mat.shape[0]
+
+
+def _isect(scene: "TraceScene", origin, direction, t_max=None, *,
+           any_hit: bool = False, active=None):
+    """Closest/any-hit dispatch: MXU sweep when built, else BVH8."""
+    if scene.sweep is not None:
+        return sweep_mod.intersect(
+            scene.sweep, origin, direction, t_max,
+            any_hit=any_hit, active=active,
+        )
+    return bvh_mod.intersect(
+        scene.bvh, origin, direction, t_max, any_hit=any_hit, active=active,
+    )
 
 
 def sky_radiance(scene: TraceScene, direction, include_sun: bool = True):
@@ -176,8 +193,8 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count):
         in_medium = jnp.zeros((r,), bool)
 
     for bounce in range(max_bounces):
-        res = bvh_mod.intersect(scene.bvh, origin, direction,
-                                active=None if bounce == 0 else live)
+        res = _isect(scene, origin, direction,
+                     active=None if bounce == 0 else live)
         ray_count = ray_count + jnp.sum(live).astype(jnp.float32)
         hit = live & res["hit"]
 
@@ -227,8 +244,8 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count):
         cos_sun = jnp.maximum(m3.dot(n, wi_sun, keepdims=True), 0.0)
         shadow_o = pos + n * 1e-3
         facing = hit & (cos_sun[:, 0] > 0.0)
-        sres = bvh_mod.intersect(
-            scene.bvh, shadow_o, jnp.broadcast_to(wi_sun, shadow_o.shape),
+        sres = _isect(
+            scene, shadow_o, jnp.broadcast_to(wi_sun, shadow_o.shape),
             any_hit=True, active=facing,
         )
         ray_count = ray_count + jnp.sum(facing).astype(jnp.float32)
@@ -429,6 +446,7 @@ def scene_from_mesh(
     sun_intensity=(4.0, 3.8, 3.5),
     sky_zenith=(0.25, 0.45, 0.85),
     sky_horizon=(0.8, 0.85, 0.95),
+    tracer: str = "auto",
 ) -> TraceScene:
     """Build a TraceScene from a merged primitive soup (host)."""
     import numpy as np
@@ -440,6 +458,12 @@ def scene_from_mesh(
     mat = np.asarray(soup["material_id"], np.int32)
     v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
     b = bvh_mod.build(v0, v1, v2)
+    # MXU sweep intersector for moderate scenes ("auto"): cluster-culled
+    # dense tests beat divergent traversal until triangle count makes the
+    # per-sweep cost (~ rays x surviving clusters) dominate.
+    sweep_scene = None
+    if tracer == "sweep" or (tracer == "auto" and len(idx) <= 262144):
+        sweep_scene = sweep_mod.build(v0, v1, v2)
     order = np.arange(len(idx))  # BVH8 reports ORIGINAL triangle ids
     tri_n = np.stack([nrm[idx[:, 0]], nrm[idx[:, 1]], nrm[idx[:, 2]]], axis=1)
     tri_uv = np.stack([uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]], axis=1)
@@ -496,4 +520,5 @@ def scene_from_mesh(
         sky_horizon=jnp.asarray(sky_horizon, jnp.float32),
         has_volumes=bool(transmission.max() > 0.0) if m else False,
         has_textures=bool((albedo_tex >= 0).any()),
+        sweep=sweep_scene,
     )

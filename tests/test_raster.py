@@ -121,3 +121,70 @@ def test_behind_camera_dropped():
     geo = _geometry(verts, [[0, 1, 2]])
     gb, *_ = rasterize(geo, _ortho_vp(), width=W, height=H, capacity=32)
     assert float(gb.coverage.sum()) == 0.0
+
+
+def test_ragged_matches_dense():
+    """bin_sorted + rasterize_ragged == bin_all + rasterize_tiles (both with
+    the sliver AABB clamp), including the z-bounded peel path."""
+    from sailor_tpu.raster import setup as rsetup, tile_raster
+
+    rng = np.random.default_rng(7)
+    n_tri = 60
+    verts, idx = [], []
+    for i in range(n_tri):
+        c = rng.uniform(-6, 6, 3)
+        for _ in range(3):
+            verts.append(c + rng.uniform(-1.2, 1.2, 3))
+        idx.append([3 * i, 3 * i + 1, 3 * i + 2])
+    geo = _geometry(verts, idx)
+    tri, aabb = rsetup.triangle_setup(
+        geo, _ortho_vp(), width=W, height=H, cull="none"
+    )
+    tw, th = tile_raster.TILE_W, tile_raster.TILE_H
+    tx, ty = -(-W // tw), -(-H // th)
+    passes, ovf = rsetup.bin_all(
+        tri.valid, aabb, tiles_x=tx, tiles_y=ty, tile_w=tw, tile_h=th,
+        capacity=256, rounds=2,
+    )
+    d = t_ = None
+    for bins, counts in passes:
+        dr, tr = tile_raster.rasterize_tiles(
+            tri, bins, tiles_y=ty, tiles_x=tx, counts=counts,
+            screen_aabb=aabb,
+        )
+        if d is None:
+            d, t_ = dr, tr
+        else:
+            take = dr > d
+            d = jnp.where(take, dr, d)
+            t_ = jnp.where(take, tr, t_)
+    rb = rsetup.bin_sorted(
+        tri.valid, aabb, tiles_x=tx, tiles_y=ty, tile_w=tw, tile_h=th
+    )
+    d2, t2 = tile_raster.rasterize_ragged(
+        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx, chunk=64
+    )
+    assert int(ovf) == 0 and int(rb[5]) == 0
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d2), atol=1e-6)
+    assert (np.asarray(t_) == np.asarray(t2)).all()
+
+    zlo = d * 0.5
+    zhi = jnp.full(d.shape, 2.0)
+    da, ta = tile_raster.rasterize_ragged(
+        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx,
+        z_bounds=(zlo, zhi), chunk=64,
+    )
+    db = tb = None
+    for bins, counts in passes:
+        dr, tr = tile_raster.rasterize_tiles(
+            tri, bins, tiles_y=ty, tiles_x=tx, counts=counts,
+            z_bounds=(zlo, zhi), screen_aabb=aabb,
+        )
+        if db is None:
+            db, tb = dr, tr
+        else:
+            take = dr > db
+            db = jnp.where(take, dr, db)
+            tb = jnp.where(take, tr, tb)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-6)
+    assert (np.asarray(ta) == np.asarray(tb)).all()
