@@ -136,7 +136,7 @@ class DepthPrepassNode(BaseNode):
             )
             opaque_valid = culled_valid
 
-        if ctx.config.get("ragged_raster", not cfg.interpret_pallas()):
+        if ctx.config.get("ragged_raster", False):
             # ragged sorted bins: ONE raster pass, no slot tables / rounds
             rb = rsetup.bin_sorted(
                 opaque_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
@@ -167,7 +167,7 @@ class DepthPrepassNode(BaseNode):
         mats = scene.materials
         if queue_of is not None and mats.has_masked:
             masked_valid = tri.valid & (queue_of == 1)
-            if ctx.config.get("ragged_raster", not cfg.interpret_pallas()):
+            if ctx.config.get("ragged_raster", False):
                 rb_m = rsetup.bin_sorted(
                     masked_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
                     tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
@@ -294,7 +294,7 @@ class ShadowPrepassNode(BaseNode):
                 scene.geometry, mat, width=s, height=s, cull="none",
                 clip=False,  # ortho light projection: w == 1, no near clip
             )
-            if ctx.config.get("ragged_raster", not cfg.interpret_pallas()):
+            if ctx.config.get("ragged_raster", False):
                 rb = rsetup.bin_sorted(
                     tri.valid, aabb, tiles_x=tiles, tiles_y=tiles_y,
                     tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
@@ -840,7 +840,7 @@ class RenderTransparentNode(BaseNode):
         tvalid = tri.valid & (
             mats.queue[geo.material_id[tri.src_id]] == 2
         )
-        if ctx.config.get("ragged_raster", not cfg.interpret_pallas()):
+        if ctx.config.get("ragged_raster", False):
             rb = rsetup.bin_sorted(
                 tvalid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,

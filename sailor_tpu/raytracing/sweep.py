@@ -132,7 +132,8 @@ def _sweep_kernel(mask_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
     """One program = (ray block b, cluster c); c is the inner grid dim.
 
     mask_ref: (B*C + pad,) int32 — 1 iff any ray of block b hits cluster
-    c's AABB. Outputs (1, Rb) best-t / best-index blocks are revisited
+    c's AABB. Outputs are (Rb, 1) per-ray COLUMN blocks (Mosaic wants the
+    sublane dim 8-divisible; a (1, Rb) row block is illegal), revisited
     across c and initialized at c == 0.
     """
     b = pl.program_id(0)
@@ -167,22 +168,20 @@ def _sweep_kernel(mask_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
         live = (id_ref[...] >= 0)           # (1, Tb)
         safe_den = jnp.where(den == 0.0, 1.0, den)
         tval = num / safe_den
-        best = t_ref[...]                   # (1, Rb) — transpose-free:
-        # outputs are (1, Rb); tval is (Rb, Tb): reduce over Tb then
-        # compare against best as a (Rb,) row.
+        best = t_ref[...]                   # (Rb, 1)
         ok = (pos | neg) & (den != 0.0) & live \
-            & (tval > 1e-4) & (tval < best.reshape(-1)[:, None])
+            & (tval > 1e-4) & (tval < best)
         tm = jnp.where(ok, tval, jnp.inf)
-        row_best = jnp.min(tm, axis=1)      # (Rb,)
+        row_best = jnp.min(tm, axis=1, keepdims=True)      # (Rb, 1)
         gidx = c * tm.shape[1] + jax.lax.broadcasted_iota(
             jnp.int32, tm.shape, 1
         )
         row_idx = jnp.max(
-            jnp.where((tm == row_best[:, None]) & ok, gidx, -1), axis=1
+            jnp.where((tm == row_best) & ok, gidx, -1), axis=1, keepdims=True
         )
         found = row_idx >= 0
-        t_ref[...] = jnp.where(found, row_best, best.reshape(-1))[None, :]
-        i_ref[...] = jnp.where(found, row_idx, i_ref[...].reshape(-1))[None, :]
+        t_ref[...] = jnp.where(found, row_best, best)
+        i_ref[...] = jnp.where(found, row_idx, i_ref[...])
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit",))
@@ -248,25 +247,25 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
         grid=(nb, nc),
         in_specs=[
             pl.BlockSpec((rb, 16), fmap),
-            pl.BlockSpec((1, rb), omap),
+            pl.BlockSpec((rb, 1), omap),
             pl.BlockSpec((24, tb), gmap),
             pl.BlockSpec((8, tb), gmap),
             pl.BlockSpec((1, tb), gmap),
         ],
         out_specs=(
-            pl.BlockSpec((1, rb), omap),
-            pl.BlockSpec((1, rb), omap),
+            pl.BlockSpec((rb, 1), omap),
+            pl.BlockSpec((rb, 1), omap),
         ),
     )
     best_t, best_i = common.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((nb, rb), jnp.float32),
-            jax.ShapeDtypeStruct((nb, rb), jnp.int32),
+            jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rpad, 1), jnp.int32),
         ),
     )(
-        sc, feats, tmax.reshape(nb, rb),
+        sc, feats, tmax.reshape(rpad, 1),
         scene.g_side, scene.g_plane, scene.tri_id[None, :],
     )
     best_t = best_t.reshape(-1)[:r]
