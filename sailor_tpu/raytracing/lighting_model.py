@@ -72,6 +72,38 @@ def ggx_pdf(n, h, wo, roughness):
     return jnp.maximum(d * cos_nh / denom, 1e-8)
 
 
+def ndf_beckmann(cos_h, roughness):
+    """Beckmann microfacet NDF (LightingModel::DistributionBeckmann,
+    LightingModel.h:44): D = exp((c2-1)/(a2 c2)) / (pi a2 c2^2)."""
+    a2 = jnp.maximum(roughness * roughness, 1e-4) ** 2
+    c2 = jnp.maximum(cos_h * cos_h, 1e-6)
+    return jnp.exp((c2 - 1.0) / (a2 * c2)) / (jnp.pi * a2 * c2 * c2)
+
+
+def sample_beckmann_half(n, roughness, u1, u2):
+    """Beckmann NDF-importance-sampled half vector about n
+    (LightingModel::ImportanceSampleBeckmann, LightingModel.h:51):
+    tan^2(theta) = -a^2 ln(1 - u)."""
+    a2 = jnp.maximum(roughness * roughness, 1e-4) ** 2
+    tan2 = -a2 * jnp.log(jnp.maximum(1.0 - u2, 1e-9))
+    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u1
+    local = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    return to_world(n, local)
+
+
+def beckmann_pdf(n, h, wo, roughness):
+    """pdf of the reflected direction under Beckmann half-vector sampling
+    (LightingModel::Beckmann_PDF, LightingModel.h:54)."""
+    cos_nh = jnp.maximum(m3.dot(n, h), 0.0)
+    d = ndf_beckmann(cos_nh, roughness)
+    denom = 4.0 * jnp.maximum(jnp.abs(m3.dot(wo, h)), 1e-6)
+    return jnp.maximum(d * cos_nh / denom, 1e-8)
+
+
 def refract(d, n, eta):
     """Snell refraction of incident ``d`` (pointing INTO the surface)
     through normal ``n`` (facing against d). ``eta`` = n_from / n_to.
@@ -118,13 +150,30 @@ def sample_hg(d, g, u1, u2):
     return to_world(m3.normalize(d), local)
 
 
+# Below this roughness the reference switches the specular lobe from GGX
+# to Beckmann sampling (LightingModel.cpp:314 bSpecularBeckman).
+BECKMANN_ROUGHNESS = 0.2
+
+
+def sample_spec_half(n, roughness, u1, u2):
+    """Specular half-vector with the reference's NDF switch
+    (LightingModel.cpp:314-325): Beckmann importance sampling when
+    roughness < 0.2, GGX otherwise. Masked lane select, no branching."""
+    h_g = sample_ggx_half(n, roughness, u1, u2)
+    h_b = sample_beckmann_half(n, roughness, u1, u2)
+    beck = (roughness < BECKMANN_ROUGHNESS)[..., None]
+    return jnp.where(beck, h_b, h_g)
+
+
 def eval_brdf(n, wo, wi, albedo, metallic, roughness):
     """glTF metal-rough BRDF (diffuse + GGX specular), matching the
     realtime path (Standard.shader CalculateLighting) so path-traced and
     rasterized images converge to the same response.
 
-    Returns (f, pdf_cos, pdf_ggx): BRDF value and the pdfs of the two
-    sampling lobes for MIS.
+    Returns (f, pdf_cos, pdf_spec): BRDF value and the pdfs of the two
+    sampling lobes for MIS. pdf_spec follows the reference's NDF switch
+    (Beckmann_PDF below roughness 0.2, GGX_PDF above;
+    LightingModel.cpp:353-355).
     """
     h = m3.normalize(wo + wi)
     cos_i = jnp.maximum(m3.dot(n, wi, keepdims=True), 0.0)
@@ -140,5 +189,9 @@ def eval_brdf(n, wo, wi, albedo, metallic, roughness):
     diff = kd * albedo / jnp.pi
 
     pdf_cos = jnp.maximum(cos_i[..., 0], 1e-6) / jnp.pi
-    pdf_g = ggx_pdf(n, h, wo, roughness)
-    return diff + spec, pdf_cos, pdf_g
+    pdf_spec = jnp.where(
+        roughness < BECKMANN_ROUGHNESS,
+        beckmann_pdf(n, h, wo, roughness),
+        ggx_pdf(n, h, wo, roughness),
+    )
+    return diff + spec, pdf_cos, pdf_spec

@@ -271,7 +271,7 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count):
         p_spec = 0.2 + 0.6 * mat["metallic"]
         pick_spec = u_lobe < p_spec
         d_cos, _ = lm.sample_cosine_hemisphere(n, u1, u2)
-        h = lm.sample_ggx_half(n, mat["roughness"], u1, u2)
+        h = lm.sample_spec_half(n, mat["roughness"], u1, u2)
         d_spec = m3.reflect(direction, h)
         wi = m3.normalize(jnp.where(pick_spec[:, None], d_spec, d_cos))
         above = m3.dot(n, wi) > 1e-4

@@ -39,6 +39,40 @@ def test_ggx_half_vector_concentrates_with_smoothness():
     assert float(h_smooth[:, 2].mean()) > 0.99
 
 
+def test_beckmann_ndf_normalizes_and_sampling_matches():
+    """Beckmann parity (LightingModel.h:44-54): the NDF satisfies
+    int D(h) cos_h dh = 1 over the hemisphere, and importance-sampled
+    half vectors reproduce the D*cos_h density (checked via the mean of
+    cos_h under sampling vs a uniform-MC estimate of the same moment)."""
+    rough = 0.15  # below the reference's Beckmann switch threshold
+    # int D(h) cos dw = 2 pi int_0^1 D(c) c dc — deterministic trapezoid
+    cos_t = jnp.linspace(1e-4, 1.0, 40001)
+    d = lm.ndf_beckmann(cos_t, rough)
+    integral = float(jnp.trapezoid(d * cos_t, cos_t) * 2.0 * jnp.pi)
+    assert abs(integral - 1.0) < 0.01, integral
+    # sampled h concentrates much harder than GGX at equal roughness
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (8192, 3))
+    u1 = jax.random.uniform(jax.random.PRNGKey(8), (8192,))
+    u2 = jax.random.uniform(jax.random.PRNGKey(9), (8192,))
+    h = lm.sample_beckmann_half(n, jnp.full((8192,), rough), u1, u2)
+    assert float(h[:, 2].min()) > 0.0
+    # E[cos_h] under D*cos sampling vs the quadrature moment
+    # int D cos^2 / int D cos
+    want = float(
+        jnp.trapezoid(d * cos_t * cos_t, cos_t)
+        / jnp.trapezoid(d * cos_t, cos_t)
+    )
+    got = float(h[:, 2].mean())
+    assert abs(got - want) < 0.02, (got, want)
+    # the auto switch picks Beckmann below 0.2 and GGX above
+    h_lo = lm.sample_spec_half(n, jnp.full((8192,), 0.15), u1, u2)
+    h_b = lm.sample_beckmann_half(n, jnp.full((8192,), 0.15), u1, u2)
+    np.testing.assert_allclose(np.asarray(h_lo), np.asarray(h_b))
+    h_hi = lm.sample_spec_half(n, jnp.full((8192,), 0.5), u1, u2)
+    h_g = lm.sample_ggx_half(n, jnp.full((8192,), 0.5), u1, u2)
+    np.testing.assert_allclose(np.asarray(h_hi), np.asarray(h_g))
+
+
 def test_power_heuristic_limits():
     w = lm.power_heuristic(jnp.asarray(1.0), jnp.asarray(0.0))
     np.testing.assert_allclose(float(w), 1.0)
