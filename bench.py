@@ -105,7 +105,7 @@ def _build_content_scene(width, height, num_lights, instances, rng_seed=13):
     images = g.load_texture_images()
 
     rng = np.random.default_rng(rng_seed)
-    floor = primitives.plane(60.0)
+    floor = primitives.merge([(primitives.plane(60.0), np.eye(4))])
     n_floor_mat = len(mats["albedo"])
     pos_l = [np.asarray(floor["position"], np.float32)]
     nrm_l = [np.asarray(floor["normal"], np.float32)]

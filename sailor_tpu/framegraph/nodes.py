@@ -63,6 +63,55 @@ def _raster_merge(tri, passes, tiles_y, tiles_x, z_bounds=None,
     return depth, tid
 
 
+def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
+                 capacity, rounds=1):
+    """Build ``raster(z_bounds) -> (depth, tid)`` for the configured
+    backend, plus an overflow scalar (candidates beyond the per-tile
+    budget of ``capacity * rounds``).
+
+    ``raster_mode``:
+      - "stream" (default): bin_sorted ragged segments consumed by the
+        grid-(ty, tx, k) streaming kernel — no slot tables, one pass
+        (tile_raster.rasterize_stream; measured 19 -> 14.6 ms for the
+        1080p opaque raster vs dense).
+      - "dense": bin_all fixed-capacity slot tables + per-round merge —
+        kept for A/B and small scenes.
+    """
+    tw, th = tile_raster.TILE_W, tile_raster.TILE_H
+    if config.get("raster_mode", "stream") == "stream":
+        chunk = int(config.get("stream_chunk", 256))
+        kmax = max(1, -(-(capacity * rounds) // chunk))
+        rb = rsetup.bin_sorted(
+            valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tw, tile_h=th,
+        )
+        ends = rb[1].astype(jnp.int32) + rb[2].astype(jnp.int32)
+        c0 = rb[1].astype(jnp.int32) // chunk
+        overflow = (
+            jnp.maximum(ends - (c0 + kmax) * chunk, 0).sum() + rb[5]
+        )
+
+        def raster(z_bounds=None, _rb=rb):
+            d, t, _ = tile_raster.rasterize_stream(
+                tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
+                z_bounds=z_bounds, chunk=chunk, kmax=kmax,
+            )
+            return d, t
+
+        return raster, overflow
+
+    passes, overflow = rsetup.bin_all(
+        valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_w=tw, tile_h=th, capacity=capacity, rounds=rounds,
+    )
+
+    def raster(z_bounds=None, _p=passes):
+        return _raster_merge(tri, _p, tiles_y, tiles_x,
+                             z_bounds=z_bounds, screen_aabb=aabb)
+
+    return raster, overflow
+
+
 def _queue_of_raster_tris(scene, tri):
     """Per-raster-triangle render-queue class, or None when the scene has a
     single (opaque) queue — the tag filter of RenderSceneNode.cpp:34-104."""
@@ -136,59 +185,22 @@ class DepthPrepassNode(BaseNode):
             )
             opaque_valid = culled_valid
 
-        if ctx.config.get("ragged_raster", False):
-            # ragged sorted bins: ONE raster pass, no slot tables / rounds
-            rb = rsetup.bin_sorted(
-                opaque_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-            )
-            targets["BinOverflow"] = rb[5]  # big-list overflow only
-
-            def raster(z_bounds=None, _rb=rb):
-                return tile_raster.rasterize_ragged(
-                    tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
-                    z_bounds=z_bounds,
-                )
-        else:
-            passes, overflow = rsetup.bin_all(
-                opaque_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                capacity=capacity, rounds=rounds,
-            )
-            targets["BinOverflow"] = overflow
-
-            def raster(z_bounds=None, _p=passes):
-                return _raster_merge(tri, _p, tiles_y, tiles_x,
-                                     z_bounds=z_bounds, screen_aabb=aabb)
-
+        raster, overflow = _make_raster(
+            tri, opaque_valid, aabb, tiles_y, tiles_x, ctx.config,
+            capacity=capacity, rounds=rounds,
+        )
+        # surfaced so callers/tests can assert nothing was dropped
+        targets["BinOverflow"] = overflow
         depth, tid = raster()
         depth, tid = depth[:h, :w], tid[:h, :w]
 
         mats = scene.materials
         if queue_of is not None and mats.has_masked:
             masked_valid = tri.valid & (queue_of == 1)
-            if ctx.config.get("ragged_raster", False):
-                rb_m = rsetup.bin_sorted(
-                    masked_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                    tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                )
-
-                def raster_m(z_bounds, _rb=rb_m):
-                    return tile_raster.rasterize_ragged(
-                        tri, aabb, *_rb[:5], tiles_y=tiles_y,
-                        tiles_x=tiles_x, z_bounds=z_bounds,
-                    )
-            else:
-                passes_m, _ = rsetup.bin_all(
-                    masked_valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                    tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                    capacity=capacity, rounds=1,
-                )
-
-                def raster_m(z_bounds, _p=passes_m):
-                    return _raster_merge(tri, _p, tiles_y, tiles_x,
-                                         z_bounds=z_bounds, screen_aabb=aabb)
-
+            raster_m, _ = _make_raster(
+                tri, masked_valid, aabb, tiles_y, tiles_x, ctx.config,
+                capacity=capacity,
+            )
             inv_vp = jnp.linalg.inv(vp)
             cam = scene.frame.camera_position
 
@@ -294,28 +306,11 @@ class ShadowPrepassNode(BaseNode):
                 scene.geometry, mat, width=s, height=s, cull="none",
                 clip=False,  # ortho light projection: w == 1, no near clip
             )
-            if ctx.config.get("ragged_raster", False):
-                rb = rsetup.bin_sorted(
-                    tri.valid, aabb, tiles_x=tiles, tiles_y=tiles_y,
-                    tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                )
-                d, _ = tile_raster.rasterize_ragged(
-                    tri, aabb, *rb[:5], tiles_y=tiles_y, tiles_x=tiles,
-                )
-                return d[:s, :s]
-            passes, _ = rsetup.bin_all(
-                tri.valid, aabb, tiles_x=tiles, tiles_y=tiles_y,
-                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                capacity=capacity, rounds=1,
+            raster, _ = _make_raster(
+                tri, tri.valid, aabb, tiles_y, tiles, ctx.config,
+                capacity=capacity,
             )
-            d = None
-            for bins, counts in passes:
-                d_r, _ = tile_raster.rasterize_tiles(
-                    tri, bins, tiles_y=tiles_y, tiles_x=tiles, counts=counts,
-                    screen_aabb=aabb,
-                )
-                d = d_r if d is None else jnp.maximum(d, d_r)
-            return d[:s, :s]
+            return raster()[0][:s, :s]
 
         radius = int(ctx.value("Shadow.EvsmBlurRadius", 4))
 
@@ -840,28 +835,10 @@ class RenderTransparentNode(BaseNode):
         tvalid = tri.valid & (
             mats.queue[geo.material_id[tri.src_id]] == 2
         )
-        if ctx.config.get("ragged_raster", False):
-            rb = rsetup.bin_sorted(
-                tvalid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-            )
-
-            def raster_t(z_bounds, _rb=rb):
-                return tile_raster.rasterize_ragged(
-                    tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
-                    z_bounds=z_bounds,
-                )
-        else:
-            passes, _ = rsetup.bin_all(
-                tvalid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_raster.TILE_W, tile_h=tile_raster.TILE_H,
-                capacity=int(ctx.config.get("bin_capacity", 512)), rounds=1,
-            )
-
-            def raster_t(z_bounds, _p=passes):
-                return _raster_merge(tri, _p, tiles_y, tiles_x,
-                                     z_bounds=z_bounds, screen_aabb=aabb)
-
+        raster_t, _ = _make_raster(
+            tri, tvalid, aabb, tiles_y, tiles_x, ctx.config,
+            capacity=int(ctx.config.get("bin_capacity", 512)),
+        )
         K = int(ctx.config.get("transparent_layers", 3))
         zlo = targets["Depth"]
         zhi = jnp.full((h, w), 2.0)

@@ -414,9 +414,9 @@ def bin_sorted(
     triangle, one sort), but instead of materializing fixed-capacity
     (Tiles, C) slot tables per round — whose (Tiles*C*rounds)-row gathers
     dominated DepthPrepass at 1080p — the tile-major sorted order is
-    consumed directly by tile_raster.rasterize_ragged, which DMA-streams
-    each tile's exact [start, start+count) segment from HBM. No capacity,
-    no rounds, no overflow for small triangles, ONE raster pass.
+    consumed directly by tile_raster.rasterize_stream, which DMA-streams
+    each tile's chunk-aligned [start, start+count) window span from HBM.
+    No slot tables, no per-round merge, ONE raster pass.
 
     Returns (order, starts, counts, big_ids, n_big, overflow):
       order   (4T,) int32 — tile-major candidate triangle ids, -1 sentinel

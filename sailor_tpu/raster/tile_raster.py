@@ -187,29 +187,34 @@ def _merge_chunk(carry, zm, ids):
     return jnp.where(take, k_z, best_z), jnp.where(take, k_id, best_id)
 
 
-def _raster_kernel_flat(sc_ref, rows_ref, big_ref, depth_ref, tid_ref, *,
-                        ntx: int, n_steps: int, rchunk: int,
-                        zlo_ref=None, zhi_ref=None):
-    """Flat-grid ragged raster: one program = one CHUNK of the tile-major
-    sorted candidate array, mapped to its owning tile by the
-    scalar-prefetched step maps (built in rasterize_ragged). The rows
-    block streams via the ordinary BlockSpec pipeline — no slot tables,
-    no dead slots, no per-tile rounds; total steps == total live chunks.
+def _raster_kernel_stream(sc_ref, rows_ref, big_ref, depth_ref, tid_ref, *,
+                          ntx: int, ntiles: int, chunk: int,
+                          zlo_ref=None, zhi_ref=None):
+    """Streaming ragged raster: grid (ty, tx, k) — program (i, j, k) tests
+    the k-th CHUNK-aligned window of tile (i, j)'s segment of the
+    tile-major sorted candidate array (bin_sorted). The rows BlockSpec
+    index map (rasterize_stream) selects the window; steps past the
+    segment end clamp to the last live window, so Mosaic skips the DMA
+    (same block index) and ``k >= spt`` skips the compute. The output
+    blocks are constant over k — the canonical revisit/accumulate pattern
+    (matmul k-loop), so depth/tid stay VMEM-resident across the whole
+    tile and are written back once.
 
-    sc_ref layout: [chunk_of_step | tile_of_step | first_of_step | n_big],
-    each (n_steps,). ``first`` steps initialize the tile's output block
-    and run the shared big-triangle phase; every step then merges its
-    chunk into the (revisited, VMEM-resident) output block. Chunks at
-    segment boundaries carry a few candidates of adjacent tiles — their
-    screen AABB cannot overlap this tile, so _test_chunk's AABB clamp
-    rejects them.
+    Replaces slot tables entirely: no (Tiles, C) id/row gathers on the
+    XLA side (they were ~15 ms of the 1080p frame), one gather of the
+    sorted rows, ONE raster pass, no per-round merge passes.
+
+    sc_ref: scalar prefetch [c0 (ntiles,) | spt (ntiles,) | n_big].
+    Boundary windows carry a few candidates of adjacent tiles — their
+    screen AABB cannot overlap this tile, so the sliver/AABB clamp
+    rejects them (same argument as _raster_kernel_flat).
     """
-    s = pl.program_id(0)
-    tile = sc_ref[n_steps + s]
-    first = sc_ref[2 * n_steps + s]
-    n_big = sc_ref[3 * n_steps]
-    ti = tile // ntx
-    tj = tile - ti * ntx
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    k = pl.program_id(2)
+    t = ti * ntx + tj
+    spt = sc_ref[ntiles + t]
+    n_big = sc_ref[2 * ntiles]
 
     oy = (ti * TILE_H).astype(jnp.float32)
     ox = (tj * TILE_W).astype(jnp.float32)
@@ -220,41 +225,49 @@ def _raster_kernel_flat(sc_ref, rows_ref, big_ref, depth_ref, tid_ref, *,
     zlo = zlo_ref[...] if zlo_ref is not None else None
     zhi = zhi_ref[...] if zhi_ref is not None else None
 
-    @pl.when(first == 1)
+    def test_sub(ref, base, carry):
+        """Test one CHUNK-row sub-window of ``ref`` starting at ``base``."""
+        s = ref[pl.ds(base, CHUNK), :]
+        zm, ids = _test_chunk(s, px, py, zlo, zhi)
+        return _merge_chunk(carry, zm, ids)
+
+    @pl.when(k == 0)
     def _():
         best = (
             jnp.zeros((TILE_H, TILE_W), jnp.float32),
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
         )
-
-        def big_body(k, carry):
-            sb = big_ref[pl.ds(k * rchunk, rchunk), :]
-            zm, ids = _test_chunk(sb, px, py, zlo, zhi)
-            return _merge_chunk(carry, zm, ids)
-
-        nb_chunks = (n_big + (rchunk - 1)) // rchunk
-        best = jax.lax.fori_loop(0, nb_chunks, big_body, best)
+        nb = (n_big + (CHUNK - 1)) // CHUNK
+        best = jax.lax.fori_loop(
+            0, nb, lambda b, c: test_sub(big_ref, b * CHUNK, c), best
+        )
         depth_ref[...] = best[0]
         tid_ref[...] = best[1]
 
-    zm, ids = _test_chunk(rows_ref[...], px, py, zlo, zhi)
-    bz, bi = _merge_chunk((depth_ref[...], tid_ref[...]), zm, ids)
-    depth_ref[...] = bz
-    tid_ref[...] = bi
+    @pl.when((k == 0) | (k < spt))
+    def _():
+        best = jax.lax.fori_loop(
+            0, chunk // CHUNK,
+            lambda b, c: test_sub(rows_ref, b * CHUNK, c),
+            (depth_ref[...], tid_ref[...]),
+        )
+        depth_ref[...] = best[0]
+        tid_ref[...] = best[1]
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "chunk"))
-def rasterize_ragged(setup, screen_aabb, order, starts, counts, big_ids,
+@functools.partial(
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "chunk", "kmax")
+)
+def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
                      n_big, *, tiles_y: int, tiles_x: int, z_bounds=None,
-                     chunk: int = 128):
-    """Raster the whole viewport in ONE pass from bin_sorted's ragged bins.
+                     chunk: int = 256, kmax: int = 16):
+    """Raster from bin_sorted's ragged bins with the streaming kernel.
 
-    Replaces rasterize_tiles + per-round merge: no slot tables, no
-    capacity/rounds, no small-triangle overflow. ``screen_aabb`` is the
-    same (xmin, xmax, ymin, ymax) tuple handed to bin_sorted (packed into
-    the rows for the sliver-coverage clamp). Returns (depth, tid).
+    ``kmax`` bounds the per-tile segment to kmax*chunk candidates (the
+    analog of bin_all's capacity*rounds); overflow is returned so callers
+    can surface dropped work. Returns (depth, tid, overflow).
     """
-    ab = jnp.stack(screen_aabb, axis=1)       # (R, 4)
+    ab = jnp.stack(screen_aabb, axis=1)
     table = jnp.concatenate(
         [setup.edge.reshape(-1, 9), setup.zplane, ab], axis=1
     )  # (R, 16)
@@ -267,11 +280,11 @@ def rasterize_ragged(setup, screen_aabb, order, starts, counts, big_ids,
 
     rows = packed_rows(order)
     n = rows.shape[0]
-    npad = common.round_up(n, chunk) + chunk  # step windows never run off
+    npad = common.round_up(n, chunk) + chunk  # windows never run off the end
     dead = jnp.zeros((npad - n, 17), jnp.float32).at[:, 16].set(-1.0)
     rows = jnp.concatenate([rows, dead])
 
-    bpad = common.round_up(big_ids.shape[0], chunk)
+    bpad = max(common.round_up(big_ids.shape[0], CHUNK), CHUNK)
     big_rows = packed_rows(big_ids)
     if bpad != big_rows.shape[0]:
         bdead = jnp.zeros(
@@ -279,56 +292,33 @@ def rasterize_ragged(setup, screen_aabb, order, starts, counts, big_ids,
         ).at[:, 16].set(-1.0)
         big_rows = jnp.concatenate([big_rows, bdead])
 
-    # --- step maps: one grid step per live CHUNK (tile-major) --------------
     ntiles = tiles_y * tiles_x
     starts = starts.astype(jnp.int32)
     counts = counts.astype(jnp.int32)
     ends = starts + counts
     c0 = starts // chunk
-    # every tile gets >= 1 step (init + big phase even when its segment is
-    # empty); segments not CHUNK-aligned share boundary chunks with their
-    # neighbors — such chunks are visited once per owning tile.
     c1 = jnp.maximum((ends + chunk - 1) // chunk, c0 + 1)
-    spt = c1 - c0                                        # steps per tile
-    S = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(spt, dtype=jnp.int32)]
-    )                                                    # (ntiles+1,)
-    n_steps = npad // chunk + 2 * ntiles                 # static bound
-    s_idx = jnp.arange(n_steps, dtype=jnp.int32)
-
-    # tile_of_step = searchsorted_right(S, s) - 1, fixed-step binary search
-    bsteps = max(1, ntiles.bit_length())
-    lo = jnp.zeros((n_steps,), jnp.int32)
-    hi = jnp.full((n_steps,), ntiles + 1, jnp.int32)
-    for _ in range(bsteps + 1):
-        mid = (lo + hi) >> 1
-        v = S[jnp.minimum(mid, ntiles)]
-        gt = v > s_idx
-        hi = jnp.where(gt, mid, hi)
-        lo = jnp.where(gt, lo, mid + 1)
-    tile_of = jnp.clip(lo - 1, 0, ntiles - 1)
-    live = s_idx < S[ntiles]
-    tile_of = jnp.where(live, tile_of, ntiles - 1)       # tail -> last tile
-    chunk_of = jnp.where(
-        live, c0[tile_of] + (s_idx - S[tile_of]), c1[ntiles - 1] - 1
-    )
-    first_of = (live & (s_idx == S[tile_of])).astype(jnp.int32)
+    spt = jnp.minimum(c1 - c0, kmax)
+    overflow = jnp.maximum(ends - (c0 + kmax) * chunk, 0).sum()
     sc = jnp.concatenate(
-        [chunk_of, tile_of, first_of,
-         jnp.broadcast_to(n_big.astype(jnp.int32)[None], (n_steps,))]
+        [c0, spt, n_big.astype(jnp.int32)[None]]
     )
 
-    def tile_map(s, sc):
-        t = sc[n_steps + s]
-        return (t // tiles_x, t - (t // tiles_x) * tiles_x)
+    def rows_map(i, j, k, sc):
+        t = i * tiles_x + j
+        return (sc[t] + jnp.minimum(k, jnp.maximum(sc[ntiles + t] - 1, 0)), 0)
+
+    def pix_map(i, j, k, sc):
+        return (i, j)
 
     in_specs = [
-        pl.BlockSpec((chunk, 17), lambda s, sc: (sc[s], 0)),
-        pl.BlockSpec((bpad, 17), lambda s, sc: (0, 0)),
+        pl.BlockSpec((chunk, 17), rows_map),
+        pl.BlockSpec((bpad, 17), lambda i, j, k, sc: (0, 0)),
     ]
     inputs = [sc, rows, big_rows]
-    kernel = functools.partial(_raster_kernel_flat, ntx=tiles_x,
-                               n_steps=n_steps, rchunk=chunk)
+    kernel = functools.partial(
+        _raster_kernel_stream, ntx=tiles_x, ntiles=ntiles, chunk=chunk
+    )
     if z_bounds is not None:
         H, W = tiles_y * TILE_H, tiles_x * TILE_W
         zlo, zhi = z_bounds
@@ -337,43 +327,41 @@ def rasterize_ragged(setup, screen_aabb, order, starts, counts, big_ids,
             zlo = jnp.pad(zlo, ((0, ph), (0, pw)))
             zhi = jnp.pad(zhi, ((0, ph), (0, pw)), constant_values=2.0)
         in_specs += [
-            pl.BlockSpec((TILE_H, TILE_W), tile_map),
-            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
         ]
         inputs += [zlo, zhi]
 
         def kernel(sc_ref, rows_ref, big_ref, zlo_ref, zhi_ref,
                    depth_ref, tid_ref):
-            return _raster_kernel_flat(
+            return _raster_kernel_stream(
                 sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
-                ntx=tiles_x, n_steps=n_steps, rchunk=chunk,
+                ntx=tiles_x, ntiles=ntiles, chunk=chunk,
                 zlo_ref=zlo_ref, zhi_ref=zhi_ref,
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_steps,),
+        grid=(tiles_y, tiles_x, kmax),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((TILE_H, TILE_W), tile_map),
-            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
         ),
     )
     depth, tid = common.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32
+            ),
         ),
-        # data-dependent output block maps keep the FULL outputs VMEM-
-        # resident (Mosaic can't stream writes it can't predict): ~17 MB at
-        # 1080p, over the 16 MB default scoped limit. v5e has 128 MB of
-        # physical VMEM — raise the cap.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )(*inputs)
-    return depth, tid
-
+    return depth, tid, overflow
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x"))
 def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,

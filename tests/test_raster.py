@@ -123,8 +123,8 @@ def test_behind_camera_dropped():
     assert float(gb.coverage.sum()) == 0.0
 
 
-def test_ragged_matches_dense():
-    """bin_sorted + rasterize_ragged == bin_all + rasterize_tiles (both with
+def test_stream_matches_dense():
+    """bin_sorted + rasterize_stream == bin_all + rasterize_tiles (both with
     the sliver AABB clamp), including the z-bounded peel path."""
     from sailor_tpu.raster import setup as rsetup, tile_raster
 
@@ -161,19 +161,10 @@ def test_ragged_matches_dense():
     rb = rsetup.bin_sorted(
         tri.valid, aabb, tiles_x=tx, tiles_y=ty, tile_w=tw, tile_h=th
     )
-    d2, t2 = tile_raster.rasterize_ragged(
-        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx, chunk=64
-    )
     assert int(ovf) == 0 and int(rb[5]) == 0
-    np.testing.assert_allclose(np.asarray(d), np.asarray(d2), atol=1e-6)
-    assert (np.asarray(t_) == np.asarray(t2)).all()
 
     zlo = d * 0.5
     zhi = jnp.full(d.shape, 2.0)
-    da, ta = tile_raster.rasterize_ragged(
-        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx,
-        z_bounds=(zlo, zhi), chunk=64,
-    )
     db = tb = None
     for bins, counts in passes:
         dr, tr = tile_raster.rasterize_tiles(
@@ -186,5 +177,17 @@ def test_ragged_matches_dense():
             take = dr > db
             db = jnp.where(take, dr, db)
             tb = jnp.where(take, tr, tb)
-    np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-6)
-    assert (np.asarray(ta) == np.asarray(tb)).all()
+
+    # streaming kernel: same ragged bins, grid-(ty,tx,k) windows
+    d3, t3, ov3 = tile_raster.rasterize_stream(
+        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx, chunk=64, kmax=8
+    )
+    assert int(ov3) == 0
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d3), atol=1e-6)
+    assert (np.asarray(t_) == np.asarray(t3)).all()
+    dc, tc, _ = tile_raster.rasterize_stream(
+        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx,
+        z_bounds=(zlo, zhi), chunk=64, kmax=8,
+    )
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(db), atol=1e-6)
+    assert (np.asarray(tc) == np.asarray(tb)).all()
