@@ -62,6 +62,15 @@ class TraceScene:
     # Optional MXU sweep intersector (sweep.py): replaces BVH8 traversal
     # when set (moderate scenes; see scene_from_mesh tracer=).
     sweep: sweep_mod.SweepScene | None = None
+    # ALL per-hit shading attributes packed into one (T, 32) row table so
+    # _shade_hit is a single R-row gather (gather cost scales with row
+    # count, not row width; the unpacked form was ~14 gathers = ~25 ms per
+    # bounce at 262k rays). Material columns are pre-expanded per triangle.
+    # Layout: 0:9 corner normals | 9:12 albedo | 12 metallic |
+    # 13 roughness | 14:17 emissive | 17 transmission | 18 ior |
+    # 19:22 atten_color | 22 atten_dist | 23 scatter | 24 hg_g |
+    # 25:31 corner uvs | 31 albedo_tex layer (float, -1 = none)
+    tri_pack: jnp.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -131,40 +140,34 @@ def _shade_hit(scene, res, origin, direction):
     u = res["u"][:, None]
     v = res["v"][:, None]
     w0 = 1.0 - u - v
-    n = (
-        scene.normals[tri, 0] * w0
-        + scene.normals[tri, 1] * u
-        + scene.normals[tri, 2] * v
-    )
+    row = scene.tri_pack[tri]            # ONE (R, 32) gather — see layout
+    n = row[:, 0:3] * w0 + row[:, 3:6] * u + row[:, 6:9] * v
     n = m3.normalize(n)
     entering = m3.dot(n, direction) < 0.0
     # Face-forward: flip shading normal against the incoming ray.
     n = jnp.where(entering[:, None], n, -n)
     pos = origin + direction * res["t"][:, None]
-    mid = scene.tri_mat[tri]
-    albedo = scene.mat_albedo[mid]
+    albedo = row[:, 9:12]
     if scene.has_textures:
         from sailor_tpu.assets.materials import _sample_texture_stack
 
         uvp = (
-            scene.uvs[tri, 0] * w0
-            + scene.uvs[tri, 1] * u
-            + scene.uvs[tri, 2] * v
+            row[:, 25:27] * w0 + row[:, 27:29] * u + row[:, 29:31] * v
         )
-        layer = scene.mat_albedo_tex[mid]
+        layer = row[:, 31].astype(jnp.int32)
         tex = _sample_texture_stack(scene.textures, layer, uvp)
         albedo = albedo * jnp.where((layer >= 0)[:, None], tex[..., :3], 1.0)
     return pos, n, entering, {
         "albedo": albedo,
-        "metallic": scene.mat_metallic[mid],
-        "roughness": scene.mat_roughness[mid],
-        "emissive": scene.mat_emissive[mid],
-        "transmission": scene.mat_transmission[mid],
-        "ior": scene.mat_ior[mid],
-        "atten_color": scene.mat_atten_color[mid],
-        "atten_dist": scene.mat_atten_dist[mid],
-        "scatter": scene.mat_scatter[mid],
-        "hg_g": scene.mat_hg_g[mid],
+        "metallic": row[:, 12],
+        "roughness": row[:, 13],
+        "emissive": row[:, 14:17],
+        "transmission": row[:, 17],
+        "ior": row[:, 18],
+        "atten_color": row[:, 19:22],
+        "atten_dist": row[:, 22],
+        "scatter": row[:, 23],
+        "hg_g": row[:, 24],
     }
 
 
@@ -491,7 +494,30 @@ def scene_from_mesh(
 
     sun = np.asarray(sun_direction, np.float32)
     sun = sun / np.linalg.norm(sun)
+
+    # single-gather shading table (see TraceScene.tri_pack layout)
+    t_n = len(idx)
+    mt = mat[order]
+    matf = lambda k, dflt: np.asarray(
+        materials.get(k, dflt), np.float32
+    )[mt]
+    pack = np.zeros((t_n, 32), np.float32)
+    pack[:, 0:9] = tri_n[order].reshape(t_n, 9)
+    pack[:, 9:12] = np.asarray(materials["albedo"], np.float32)[mt]
+    pack[:, 12] = np.asarray(materials["metallic"], np.float32)[mt]
+    pack[:, 13] = np.asarray(materials["roughness"], np.float32)[mt]
+    pack[:, 14:17] = np.asarray(materials["emissive"], np.float32)[mt]
+    pack[:, 17] = transmission[mt]
+    pack[:, 18] = matf("ior", np.full(m, 1.5))
+    pack[:, 19:22] = matf("atten_color", np.ones((m, 3)))
+    pack[:, 22] = matf("atten_dist", np.zeros(m))
+    pack[:, 23] = matf("scatter", np.zeros(m))
+    pack[:, 24] = matf("hg_g", np.zeros(m))
+    pack[:, 25:31] = tri_uv[order].reshape(t_n, 6)
+    pack[:, 31] = albedo_tex[mt].astype(np.float32)
+
     return TraceScene(
+        tri_pack=jnp.asarray(pack),
         bvh=b,
         normals=jnp.asarray(tri_n[order]),
         uvs=jnp.asarray(tri_uv[order]),

@@ -50,23 +50,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 CLUSTER = 256       # triangles per cluster (rhs tile N)
 RAY_BLOCK = 2048    # rays per block (lhs tile M)
+SUB = 256           # rays per masked sub-block inside a block (M sub-tile)
 
 
 @struct.dataclass
 class SweepScene:
     g_side: jnp.ndarray   # (24, Tp) edge Plucker features, 8-padded rows:
                           #   rows 8e..8e+6 = [m_e (3), d_e (3)], rows 6,7 pad
-    g_plane: jnp.ndarray  # (8, Tp): rows 0:3 = -n, row 3 = k, rows 4:7 = n
+    g_plane: jnp.ndarray  # (16, Tp): rows 0:3 = -n, row 3 = k (num dot);
+                          #   rows 12:15 = n (den dot); others zero —
+                          #   K=8-aligned slices so Mosaic can feed the MXU
     v0e1e2: jnp.ndarray   # (Tp, 9) exact MT refinement data
     tri_id: jnp.ndarray   # (Tp,) original triangle id, -1 padding
     cl_min: jnp.ndarray   # (C, 3) cluster AABB
     cl_max: jnp.ndarray   # (C, 3)
     num_tris: int = struct.field(pytree_node=False)
     n_clusters: int = struct.field(pytree_node=False)
+    cluster: int = struct.field(pytree_node=False, default=CLUSTER)
 
 
-def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> SweepScene:
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, *,
+          cluster: int = CLUSTER) -> SweepScene:
     """Cluster + featurize a triangle soup (host side, like bvh8.build)."""
+    CLUSTER_ = cluster
     b = bvh2.build(np.asarray(v0), np.asarray(v1), np.asarray(v2))
     # BVH leaf order = spatially sorted triangle order; consecutive
     # CLUSTER-sized runs make tight clusters.
@@ -75,7 +81,7 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> SweepScene:
     bb = np.asarray(v1)[order]
     c = np.asarray(v2)[order]
     t = a.shape[0]
-    tp = max(CLUSTER, -(-t // CLUSTER) * CLUSTER)
+    tp = max(CLUSTER_, -(-t // CLUSTER_) * CLUSTER_)
 
     def pad(x, fill=0.0):
         return np.concatenate(
@@ -100,16 +106,16 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> SweepScene:
     g = np.zeros((24, tp), np.float32)
     for e, (p, q) in enumerate(((a, bb), (bb, c), (c, a))):
         g[8 * e:8 * e + 6] = edge_feat(p, q).T
-    gp = np.zeros((8, tp), np.float32)
+    gp = np.zeros((16, tp), np.float32)
     gp[0:3] = -n.T
     gp[3] = k
-    gp[4:7] = n.T
+    gp[12:15] = n.T
 
     v0e1e2 = np.concatenate([a, e1, e2], axis=1).astype(np.float32)
 
-    nc = tp // CLUSTER
-    tri_min = np.minimum(np.minimum(a, bb), c).reshape(nc, CLUSTER, 3)
-    tri_max = np.maximum(np.maximum(a, bb), c).reshape(nc, CLUSTER, 3)
+    nc = tp // CLUSTER_
+    tri_min = np.minimum(np.minimum(a, bb), c).reshape(nc, CLUSTER_, 3)
+    tri_max = np.maximum(np.maximum(a, bb), c).reshape(nc, CLUSTER_, 3)
     # padding rows collapse to a point at the first real vertex of their
     # cluster (harmless for the AABB)
     cl_min = tri_min.min(axis=1)
@@ -124,76 +130,115 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> SweepScene:
         cl_max=jnp.asarray(cl_max),
         num_tris=int(t),
         n_clusters=int(nc),
+        cluster=CLUSTER_,
     )
 
 
 def _sweep_kernel(mask_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
-                  t_ref, i_ref, *, n_blocks: int, n_clusters: int):
+                  t_ref, i_ref, *, n_blocks: int, n_clusters: int,
+                  any_hit: bool = False):
     """One program = (ray block b, cluster c); c is the inner grid dim.
 
-    mask_ref: (B*C + pad,) int32 — 1 iff any ray of block b hits cluster
-    c's AABB. Outputs are (Rb, 1) per-ray COLUMN blocks (Mosaic wants the
-    sublane dim 8-divisible; a (1, Rb) row block is illegal), revisited
-    across c and initialized at c == 0.
+    mask_ref holds PER-SUB-BLOCK liveness: entry (b*nsub + s)*C + c is 1
+    iff any ray of sub-block s (SUB rays) of block b hits cluster c's
+    AABB. The kernel statically unrolls the nsub sub-blocks and each runs
+    under its own pl.when — with spatially sorted rays most sub-blocks of
+    a block skip most clusters, so the (Rb, Tb) epilogue (the VPU-bound
+    cost) only runs on live (sub-block, cluster) pairs. Outputs are
+    (Rb, 1) per-ray COLUMN blocks (Mosaic wants the sublane dim
+    8-divisible; a (1, Rb) row block is illegal), revisited across c and
+    initialized at c == 0.
     """
     b = pl.program_id(0)
     c = pl.program_id(1)
+    nsub = t_ref.shape[0] // SUB
 
     @pl.when(c == 0)
     def _():
         t_ref[...] = tmax_ref[...]
         i_ref[...] = jnp.full(i_ref.shape, -1, jnp.int32)
 
-    @pl.when(mask_ref[b * n_clusters + c] == 1)
-    def _():
-        f = f_ref[...]                      # (Rb, 16)
-        f6 = f[:, 0:6]
-        fo = f[:, 6:10]
-        fd = f[:, 0:3]
-        gs = gs_ref[...]                    # (24, Tb)
-        gp = gp_ref[...]                    # (8, Tb)
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s0 = dot(f6, gs[0:6])               # (Rb, Tb)
-        s1 = dot(f6, gs[8:14])
-        s2 = dot(f6, gs[16:22])
-        num = dot(fo, gp[0:4])
-        den = dot(fd, gp[4:7])
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gs = gs_ref[...]                    # (24, Tb)
+    gp = gp_ref[...]                    # (16, Tb)
+    live = (id_ref[...] >= 0)           # (1, Tb)
 
-        pos = (s0 >= 0.0) & (s1 >= 0.0) & (s2 >= 0.0)
-        neg = (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
-        live = (id_ref[...] >= 0)           # (1, Tb)
-        safe_den = jnp.where(den == 0.0, 1.0, den)
-        tval = num / safe_den
-        best = t_ref[...]                   # (Rb, 1)
-        ok = (pos | neg) & (den != 0.0) & live \
-            & (tval > 1e-4) & (tval < best)
-        tm = jnp.where(ok, tval, jnp.inf)
-        row_best = jnp.min(tm, axis=1, keepdims=True)      # (Rb, 1)
-        gidx = c * tm.shape[1] + jax.lax.broadcasted_iota(
-            jnp.int32, tm.shape, 1
-        )
-        row_idx = jnp.max(
-            jnp.where((tm == row_best) & ok, gidx, -1), axis=1, keepdims=True
-        )
-        found = row_idx >= 0
-        t_ref[...] = jnp.where(found, row_best, best)
-        i_ref[...] = jnp.where(found, row_idx, i_ref[...])
+    for s in range(nsub):
+        @pl.when(mask_ref[(b * nsub + s) * n_clusters + c] == 1)
+        def _(s=s):
+            # K=8-aligned dot slices (zero pad rows in gs/gp line up with
+            # zero feature columns) — Mosaic lowers K<8 contractions to
+            # VPU FMA chains, which were the measured kernel bottleneck
+            f = f_ref[pl.ds(s * SUB, SUB), :]   # (SUB, 16)
+            f8 = f[:, 0:8]                      # [d, m, 0, 0]
+            fp = f[:, 8:16]                     # [o, 1, d, 0]
+            s0 = dot(f8, gs[0:8])               # (SUB, Tb)
+            s1 = dot(f8, gs[8:16])
+            s2 = dot(f8, gs[16:24])
+            num = dot(fp, gp[0:8])
+            den = dot(fp, gp[8:16])
+
+            pos = (s0 >= 0.0) & (s1 >= 0.0) & (s2 >= 0.0)
+            neg = (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
+            safe_den = jnp.where(den == 0.0, 1.0, den)
+            tval = num / safe_den
+            best = t_ref[pl.ds(s * SUB, SUB), :]   # (SUB, 1)
+            ok = (pos | neg) & (den != 0.0) & live \
+                & (tval > 1e-4) & (tval < best)
+            if any_hit:
+                # occlusion query: any valid intersection in (eps, t_max)
+                # retires the ray — no winner ordering, no index recovery
+                found = jnp.any(ok, axis=1, keepdims=True)
+                i_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
+                    found, 0, i_ref[pl.ds(s * SUB, SUB), :]
+                )
+                t_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
+                    found, -1.0, best
+                )
+            else:
+                tm = jnp.where(ok, tval, jnp.inf)
+                row_best = jnp.min(tm, axis=1, keepdims=True)  # (SUB, 1)
+                gidx = c * tm.shape[1] + jax.lax.broadcasted_iota(
+                    jnp.int32, tm.shape, 1
+                )
+                row_idx = jnp.max(
+                    jnp.where((tm == row_best) & ok, gidx, -1),
+                    axis=1, keepdims=True,
+                )
+                found = row_idx >= 0
+                t_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
+                    found, row_best, best
+                )
+                i_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
+                    found, row_idx, i_ref[pl.ds(s * SUB, SUB), :]
+                )
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
+@functools.partial(jax.jit, static_argnames=("any_hit", "sort_rays"))
 def intersect(scene: SweepScene, origin, direction, t_max=None, *,
-              any_hit: bool = False, active=None):
-    """Drop-in for bvh8.intersect: returns dict(t, tri, u, v, hit)."""
+              any_hit: bool = False, active=None, sort_rays: bool = False):
+    """Drop-in for bvh8.intersect: returns dict(t, tri, u, v, hit).
+
+    ``sort_rays`` re-orders rays by the id of the first cluster their
+    segment enters before dispatch (and inverse-permutes the two winner
+    scalars after): incoherent bounce rays land next to rays that need
+    the same clusters, so the per-sub-block masks stay selective.
+    Measured on v5e at 262k rays: the two 262k sorts + permutes cost
+    ~8 ms while the masked kernel only saves ~4 ms — so it defaults OFF;
+    it pays off for scenes with many clusters (deep pierce-through) or
+    mostly-dead late bounces.
+    """
     r = origin.shape[0]
     rb = RAY_BLOCK
     rpad = common.round_up(max(r, rb), rb)
     nb = rpad // rb
+    nsub = rb // SUB
     nc = scene.n_clusters
-    tb = CLUSTER
+    tb = scene.cluster
 
     def padr(x, fill=0.0):
         return jnp.pad(x, ((0, rpad - r),) + ((0, 0),) * (x.ndim - 1),
@@ -210,38 +255,80 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
         tmax = tmax.at[:r].set(jnp.where(active, tmax[:r], -1.0))
     tmax = tmax.at[r:].set(-1.0)  # padding rays: dead (t window empty)
 
-    m = jnp.cross(o, d)
-    feats = jnp.concatenate(
-        [d, m, o, jnp.ones((rpad, 1)), jnp.zeros((rpad, 6))], axis=1
-    )  # (Rp, 16)
+    # --- phase 0: exact per-ray cluster slab test -------------------------
+    # Axis-split outer products instead of a materialized (Rp, C, 3)
+    # stack: every term is elementwise over (Rp, C) feeding a reduce, so
+    # XLA fuses the whole pass (the stacked form spilled ~1.4 GB of
+    # rank-3 temporaries to HBM — measured 29 ms of an 80 ms dispatch).
+    def slab(o, d, tmax):
+        inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, 1e12)   # (Rp, 3)
+        oinv = o * inv
+        tn = jnp.full((rpad, nc), -jnp.inf)
+        tf = jnp.full((rpad, nc), jnp.inf)
+        for k in range(3):
+            a = inv[:, k:k + 1] * scene.cl_min[None, :, k] - oinv[:, k:k + 1]
+            b_ = inv[:, k:k + 1] * scene.cl_max[None, :, k] - oinv[:, k:k + 1]
+            tn = jnp.maximum(tn, jnp.minimum(a, b_))
+            tf = jnp.minimum(tf, jnp.maximum(a, b_))
+        return (tn <= jnp.minimum(tf, tmax[:, None])) & (tf > 0.0), tn
 
-    # --- phase 0: exact per-ray cluster slab test, OR-reduced per block ---
-    inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, 1e12)
-    t0 = (scene.cl_min[None] - o[:, None]) * inv[:, None]   # (Rp, C, 3)
-    t1 = (scene.cl_max[None] - o[:, None]) * inv[:, None]
-    tn = jnp.max(jnp.minimum(t0, t1), axis=2)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=2)
-    hit_c = (tn <= jnp.minimum(tf, tmax[:, None])) & (tf > 0.0)
-    mask = jnp.any(hit_c.reshape(nb, rb, nc), axis=1)        # (B, C)
-    mask_i = mask.astype(jnp.int32).reshape(-1)
+    if sort_rays:
+        # Sort rays by (first entered cluster, quantized direction):
+        # rays that start in the same region AND head the same way share
+        # their whole cluster list, and dead rays sort to the end (their
+        # sub-blocks go fully dark). Measured sub-block densities on
+        # incoherent bounce rays: unsorted 0.62, fc only 0.42,
+        # (fc, dir16) 0.24 (per-ray 0.04). The slab pass is recomputed
+        # on the sorted rays rather than permuted: a second fused
+        # elementwise pass is ~2 ms, gathering the materialized (Rp, C)
+        # mask is ~19 MB + a row gather.
+        hit_c, tn = slab(o, d, tmax)
+        entry = jnp.where(hit_c, tn, jnp.inf)
+        fc = jnp.where(
+            jnp.any(hit_c, axis=1), jnp.argmin(entry, axis=1), nc
+        ).astype(jnp.int32)
+        qd = jnp.clip(((d + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+        dq = (qd[:, 0] * 4 + qd[:, 1]) * 4 + qd[:, 2]
+        iota = jnp.arange(rpad, dtype=jnp.int32)
+        _, order = jax.lax.sort_key_val(fc * 64 + dq, iota)
+        # inverse permutation by sorting the permutation itself (a sort
+        # beats a 262k-row scatter on TPU)
+        _, inv_order = jax.lax.sort_key_val(order, iota)
+        o = o[order]
+        d = d[order]
+        tmax = tmax[order]
+
+    hit_c, _ = slab(o, d, tmax)
+
+    m = jnp.cross(o, d)
+    z1 = jnp.zeros((rpad, 1))
+    feats = jnp.concatenate(
+        [d, m, z1, z1, o, jnp.ones((rpad, 1)), d, z1], axis=1
+    )  # (Rp, 16): [d, m, 0, 0 | o, 1, d, 0] — see g_side/g_plane layout
+
+    sub = jnp.any(hit_c.reshape(nb * nsub, SUB, nc), axis=1)  # (B*S, C)
+    mask = jnp.any(sub.reshape(nb, nsub, nc), axis=1)         # (B, C)
+    sub_i = sub.astype(jnp.int32).reshape(-1)
 
     # hold-previous fetch index per (b, c): dead steps re-point at the last
     # live cluster so the rhs block is not re-fetched
     live_c = jnp.where(mask, jnp.arange(nc, dtype=jnp.int32)[None, :], -1)
     fetch = jax.lax.cummax(live_c, axis=1)
     fetch = jnp.maximum(fetch, 0).reshape(-1)
-    sc = jnp.concatenate([mask_i, fetch])
+    sc = jnp.concatenate([sub_i, fetch])
 
     def fmap(b, c, sc):
         return (b, 0)
 
     def gmap(b, c, sc):
-        return (0, sc[nb * nc + b * nc + c])
+        return (0, sc[nb * nsub * nc + b * nc + c])
 
     def omap(b, c, sc):
         return (b, 0)
 
-    kernel = functools.partial(_sweep_kernel, n_blocks=nb, n_clusters=nc)
+    kernel = functools.partial(
+        _sweep_kernel, n_blocks=nb, n_clusters=nc, any_hit=any_hit
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, nc),
@@ -249,7 +336,7 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
             pl.BlockSpec((rb, 16), fmap),
             pl.BlockSpec((rb, 1), omap),
             pl.BlockSpec((24, tb), gmap),
-            pl.BlockSpec((8, tb), gmap),
+            pl.BlockSpec((16, tb), gmap),
             pl.BlockSpec((1, tb), gmap),
         ],
         out_specs=(
@@ -264,12 +351,29 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
             jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
             jax.ShapeDtypeStruct((rpad, 1), jnp.int32),
         ),
+        # RAY_BLOCK=4096 lhs blocks + double buffering brush the 16 MB
+        # default scoped limit; v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(
         sc, feats, tmax.reshape(rpad, 1),
         scene.g_side, scene.g_plane, scene.tri_id[None, :],
     )
-    best_t = best_t.reshape(-1)[:r]
-    best_i = best_i.reshape(-1)[:r]
+    best_t = best_t.reshape(-1)
+    best_i = best_i.reshape(-1)
+    if sort_rays:
+        best_t = best_t[inv_order]
+        best_i = best_i[inv_order]
+    best_t = best_t[:r]
+    best_i = best_i[:r]
+    if any_hit:
+        hit = best_i >= 0
+        return {
+            "t": jnp.where(hit, 0.0, jnp.inf),
+            "tri": jnp.where(hit, 0, -1),
+            "u": jnp.zeros((r,)),
+            "v": jnp.zeros((r,)),
+            "hit": hit,
+        }
     return _refine(scene, origin, direction, best_t, best_i)
 
 
