@@ -166,6 +166,10 @@ class GLTF:
             "emissive": np.zeros((n, 3), np.float32),
             "albedo_texture": np.full(n, -1, np.int32),
             "normal_texture": np.full(n, -1, np.int32),
+            # ORM (metallicRoughness: G=roughness, B=metallic) + emissive
+            # maps — sampled at path-tracer hit points (MaterialUtils.h:23-80)
+            "orm_texture": np.full(n, -1, np.int32),
+            "emissive_texture": np.full(n, -1, np.int32),
             "queue": np.zeros(n, np.int32),
             "alpha_cutoff": np.full(n, 0.5, np.float32),
             "opacity": np.ones(n, np.float32),
@@ -202,6 +206,14 @@ class GLTF:
             if "normalTexture" in m:
                 table["normal_texture"][i] = self._image_of(
                     m["normalTexture"]["index"]
+                )
+            if "metallicRoughnessTexture" in pbr:
+                table["orm_texture"][i] = self._image_of(
+                    pbr["metallicRoughnessTexture"]["index"]
+                )
+            if "emissiveTexture" in m:
+                table["emissive_texture"][i] = self._image_of(
+                    m["emissiveTexture"]["index"]
                 )
         return table
 

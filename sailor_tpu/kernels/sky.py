@@ -232,7 +232,8 @@ def stars(d, star_dirs, star_colors, transmittance, *, sharpness: float = 8000.0
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_clouds", "with_stars", "cloud_stride")
+    jax.jit,
+    static_argnames=("with_clouds", "with_stars", "with_sun", "cloud_stride"),
 )
 def sky_radiance(
     d,
@@ -243,6 +244,7 @@ def sky_radiance(
     *,
     with_clouds: bool = True,
     with_stars: bool = False,
+    with_sun: bool = True,
     cloud_stride: int = 1,
     cloud_override=None,
 ):
@@ -273,7 +275,10 @@ def sky_radiance(
         else:
             cl, cloud_t = clouds(d, params, time)
         color = color * cloud_t[..., None] + cl
-    color = color + sun_disc(d, params, trans) * cloud_t[..., None]
+    if with_sun:
+        # the path tracer bakes the env WITHOUT the disc — its NEE shadow
+        # rays already estimate direct sun; the disc would double-count
+        color = color + sun_disc(d, params, trans) * cloud_t[..., None]
     if with_stars and star_dirs is not None:
         night = jnp.clip(params.sun_direction[1] * 2.0, 0.0, 1.0)  # sun below horizon
         color = color + stars(d, star_dirs, star_colors, trans) * night * cloud_t[..., None]

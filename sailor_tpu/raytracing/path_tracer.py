@@ -62,15 +62,26 @@ class TraceScene:
     # Optional MXU sweep intersector (sweep.py): replaces BVH8 traversal
     # when set (moderate scenes; see scene_from_mesh tracer=).
     sweep: sweep_mod.SweepScene | None = None
-    # ALL per-hit shading attributes packed into one (T, 32) row table so
+    # ALL per-hit shading attributes packed into one (T, 48) row table so
     # _shade_hit is a single R-row gather (gather cost scales with row
     # count, not row width; the unpacked form was ~14 gathers = ~25 ms per
     # bounce at 262k rays). Material columns are pre-expanded per triangle.
     # Layout: 0:9 corner normals | 9:12 albedo | 12 metallic |
     # 13 roughness | 14:17 emissive | 17 transmission | 18 ior |
     # 19:22 atten_color | 22 atten_dist | 23 scatter | 24 hg_g |
-    # 25:31 corner uvs | 31 albedo_tex layer (float, -1 = none)
+    # 25:31 corner uvs | 31 albedo_tex layer (float, -1 = none) |
+    # 32:35 face tangent (uv-aligned) | 35 bitangent handedness sign |
+    # 36 normal_tex | 37 orm_tex | 38 emissive_tex | 39:48 pad
     tri_pack: jnp.ndarray | None = None
+    # Baked sun-less lat-long environment map (TraceSky analog,
+    # PathTracer.cpp:577-620): the engine's raymarched SkyNode radiance
+    # evaluated once per scene on a (He, We) grid instead of per miss ray —
+    # a miss costs one bilinear fetch, and NEE keeps owning direct sun.
+    env_map: jnp.ndarray | None = None
+    # Per-map static flags so untextured scenes trace zero texture code:
+    has_normal_maps: bool = struct.field(pytree_node=False, default=False)
+    has_orm_maps: bool = struct.field(pytree_node=False, default=False)
+    has_emissive_maps: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -91,16 +102,48 @@ def _isect(scene: "TraceScene", origin, direction, t_max=None, *,
 
 
 def sky_radiance(scene: TraceScene, direction, include_sun: bool = True):
-    """Simple analytic sky (gradient + sun disc); stands in for the
-    raymarched SkyNode until it is wired in (reference TraceSky).
+    """Environment radiance for miss rays (reference TraceSky,
+    PathTracer.cpp:577-620).
+
+    With ``scene.env_map`` set (scene_from_mesh ``sky=SkyParams``), this
+    bilinearly samples the baked sun-less lat-long map of the engine's
+    raymarched SkyNode — raster and traced images see the same sky.
+    Otherwise a cheap analytic gradient stands in (benchmarks default to
+    it: an env fetch costs 4 row gathers per miss ray).
 
     ``include_sun=False`` for post-NEE bounce rays: the sun's direct
     contribution is already accounted for by the shadow-ray estimator, so
     counting the disc again would double-count (and throw fireflies when a
     low-pdf specular bounce hits it).
     """
-    t = jnp.clip(direction[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
-    base = scene.sky_horizon * (1.0 - t) + scene.sky_zenith * t
+    if scene.env_map is not None:
+        he, we = scene.env_map.shape[:2]
+        flat = scene.env_map.reshape(he * we, 3)
+        d = direction
+        # lat-long: u from atan2(z, x), v from polar angle off +Y — must
+        # match the bake grid in scene_from_mesh
+        u = (jnp.arctan2(d[..., 2], d[..., 0]) + jnp.pi) / (2.0 * jnp.pi)
+        v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+        fy = jnp.clip(v * he - 0.5, 0.0, he - 1.0)
+        fx = u * we - 0.5
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        x0f = jnp.floor(fx)
+        x0 = x0f.astype(jnp.int32) % we          # wrap in azimuth
+        y1 = jnp.minimum(y0 + 1, he - 1)
+        x1 = (x0 + 1) % we
+        wy = (fy - y0.astype(jnp.float32))[..., None]
+        wx = (fx - x0f)[..., None]
+        c00 = flat[y0 * we + x0]
+        c01 = flat[y0 * we + x1]
+        c10 = flat[y1 * we + x0]
+        c11 = flat[y1 * we + x1]
+        base = (
+            (c00 * (1 - wx) + c01 * wx) * (1 - wy)
+            + (c10 * (1 - wx) + c11 * wx) * wy
+        )
+    else:
+        t = jnp.clip(direction[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
+        base = scene.sky_horizon * (1.0 - t) + scene.sky_zenith * t
     if include_sun:
         cos_sun = m3.dot(direction, -scene.sun_direction, keepdims=True)
         base = base + jnp.where(
@@ -140,7 +183,7 @@ def _shade_hit(scene, res, origin, direction):
     u = res["u"][:, None]
     v = res["v"][:, None]
     w0 = 1.0 - u - v
-    row = scene.tri_pack[tri]            # ONE (R, 32) gather — see layout
+    row = scene.tri_pack[tri]            # ONE (R, 48) gather — see layout
     n = row[:, 0:3] * w0 + row[:, 3:6] * u + row[:, 6:9] * v
     n = m3.normalize(n)
     entering = m3.dot(n, direction) < 0.0
@@ -148,6 +191,9 @@ def _shade_hit(scene, res, origin, direction):
     n = jnp.where(entering[:, None], n, -n)
     pos = origin + direction * res["t"][:, None]
     albedo = row[:, 9:12]
+    metallic = row[:, 12]
+    roughness = row[:, 13]
+    emissive = row[:, 14:17]
     if scene.has_textures:
         from sailor_tpu.assets.materials import _sample_texture_stack
 
@@ -157,11 +203,42 @@ def _shade_hit(scene, res, origin, direction):
         layer = row[:, 31].astype(jnp.int32)
         tex = _sample_texture_stack(scene.textures, layer, uvp)
         albedo = albedo * jnp.where((layer >= 0)[:, None], tex[..., :3], 1.0)
+        if scene.has_normal_maps:
+            # Tangent-space normal map about the face-forward shading
+            # normal (MaterialUtils.h:23-42 decode): Gram-Schmidt the
+            # packed uv-aligned face tangent against the interpolated n,
+            # bitangent from the packed handedness sign.
+            nl = row[:, 36].astype(jnp.int32)
+            ntex = _sample_texture_stack(scene.textures, nl, uvp)
+            n_ts = ntex[..., :3] * 2.0 - 1.0
+            t = row[:, 32:35]
+            t = m3.normalize(t - n * m3.dot(n, t, keepdims=True))
+            b = jnp.cross(n, t) * row[:, 35:36]
+            n_mapped = m3.normalize(
+                t * n_ts[:, 0:1] + b * n_ts[:, 1:2] + n * n_ts[:, 2:3]
+            )
+            n = jnp.where((nl >= 0)[:, None], n_mapped, n)
+        if scene.has_orm_maps:
+            # glTF metallicRoughness: G = roughness, B = metallic,
+            # multiplied into the factors (MaterialUtils.h:44-60). The
+            # R/occlusion channel is ignored: path tracing computes
+            # indirect visibility exactly, baked AO would double-darken.
+            ol = row[:, 37].astype(jnp.int32)
+            otex = _sample_texture_stack(scene.textures, ol, uvp)
+            has_o = ol >= 0
+            roughness = jnp.where(has_o, roughness * otex[..., 1], roughness)
+            metallic = jnp.where(has_o, metallic * otex[..., 2], metallic)
+        if scene.has_emissive_maps:
+            el = row[:, 38].astype(jnp.int32)
+            etex = _sample_texture_stack(scene.textures, el, uvp)
+            emissive = jnp.where(
+                (el >= 0)[:, None], emissive * etex[..., :3], emissive
+            )
     return pos, n, entering, {
         "albedo": albedo,
-        "metallic": row[:, 12],
-        "roughness": row[:, 13],
-        "emissive": row[:, 14:17],
+        "metallic": metallic,
+        "roughness": roughness,
+        "emissive": emissive,
         "transmission": row[:, 17],
         "ior": row[:, 18],
         "atten_color": row[:, 19:22],
@@ -450,8 +527,16 @@ def scene_from_mesh(
     sky_zenith=(0.25, 0.45, 0.85),
     sky_horizon=(0.8, 0.85, 0.95),
     tracer: str = "auto",
+    sky=None,
+    env_size=(128, 256),
 ) -> TraceScene:
-    """Build a TraceScene from a merged primitive soup (host)."""
+    """Build a TraceScene from a merged primitive soup (host).
+
+    ``sky``: a ``kernels.sky.SkyParams`` — bakes the engine's raymarched
+    sky (sun-less) into a lat-long env map sampled on miss rays, so the
+    tracer and the raster pipeline agree on the environment (reference
+    TraceSky, PathTracer.cpp:577-620). None keeps the cheap analytic
+    gradient."""
     import numpy as np
 
     pos = np.asarray(soup["position"], np.float32)
@@ -495,13 +580,23 @@ def scene_from_mesh(
     sun = np.asarray(sun_direction, np.float32)
     sun = sun / np.linalg.norm(sun)
 
+    normal_tex = np.asarray(
+        materials.get("normal_texture", np.full(m, -1, np.int32)), np.int32
+    )
+    orm_tex = np.asarray(
+        materials.get("orm_texture", np.full(m, -1, np.int32)), np.int32
+    )
+    emissive_tex = np.asarray(
+        materials.get("emissive_texture", np.full(m, -1, np.int32)), np.int32
+    )
+
     # single-gather shading table (see TraceScene.tri_pack layout)
     t_n = len(idx)
     mt = mat[order]
     matf = lambda k, dflt: np.asarray(
         materials.get(k, dflt), np.float32
     )[mt]
-    pack = np.zeros((t_n, 32), np.float32)
+    pack = np.zeros((t_n, 48), np.float32)
     pack[:, 0:9] = tri_n[order].reshape(t_n, 9)
     pack[:, 9:12] = np.asarray(materials["albedo"], np.float32)[mt]
     pack[:, 12] = np.asarray(materials["metallic"], np.float32)[mt]
@@ -516,7 +611,55 @@ def scene_from_mesh(
     pack[:, 25:31] = tri_uv[order].reshape(t_n, 6)
     pack[:, 31] = albedo_tex[mt].astype(np.float32)
 
+    # uv-aligned face tangent + bitangent handedness for normal mapping
+    # (standard uv-delta construction; degenerate uvs fall back to e1)
+    p0, p1, p2 = v0[order], v1[order], v2[order]
+    e1, e2 = p1 - p0, p2 - p0
+    uvt = tri_uv[order]
+    du1 = uvt[:, 1] - uvt[:, 0]
+    du2 = uvt[:, 2] - uvt[:, 0]
+    det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+    inv_det = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
+    tang = (du2[:, 1:2] * e1 - du1[:, 1:2] * e2) * inv_det[:, None]
+    tlen = np.linalg.norm(tang, axis=1, keepdims=True)
+    e1len = np.maximum(np.linalg.norm(e1, axis=1, keepdims=True), 1e-12)
+    tang = np.where(tlen > 1e-8, tang / np.maximum(tlen, 1e-12), e1 / e1len)
+    bitan = (du1[:, 0:1] * e2 - du2[:, 0:1] * e1) * inv_det[:, None]
+    gn = np.cross(e1, e2)
+    hand = np.where(
+        np.sum(np.cross(gn, tang) * bitan, axis=1) >= 0.0, 1.0, -1.0
+    )
+    pack[:, 32:35] = tang
+    pack[:, 35] = hand
+    pack[:, 36] = normal_tex[mt].astype(np.float32)
+    pack[:, 37] = orm_tex[mt].astype(np.float32)
+    pack[:, 38] = emissive_tex[mt].astype(np.float32)
+
+    env_map = None
+    if sky is not None:
+        from sailor_tpu.kernels import sky as sky_mod
+
+        he, we = env_size
+        th = (np.arange(he, dtype=np.float32) + 0.5) / he * np.pi
+        ph = (np.arange(we, dtype=np.float32) + 0.5) / we * 2.0 * np.pi - np.pi
+        st, ct = np.sin(th)[:, None], np.cos(th)[:, None]
+        dgrid = np.stack(
+            [
+                np.broadcast_to(st * np.cos(ph)[None, :], (he, we)),
+                np.broadcast_to(ct, (he, we)),
+                np.broadcast_to(st * np.sin(ph)[None, :], (he, we)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        env_map = sky_mod.sky_radiance(
+            jnp.asarray(dgrid), sky, with_sun=False, cloud_stride=1
+        )
+
     return TraceScene(
+        env_map=env_map,
+        has_normal_maps=bool((normal_tex >= 0).any()),
+        has_orm_maps=bool((orm_tex >= 0).any()),
+        has_emissive_maps=bool((emissive_tex >= 0).any()),
         tri_pack=jnp.asarray(pack),
         bvh=b,
         normals=jnp.asarray(tri_n[order]),
@@ -545,6 +688,9 @@ def scene_from_mesh(
         sky_zenith=jnp.asarray(sky_zenith, jnp.float32),
         sky_horizon=jnp.asarray(sky_horizon, jnp.float32),
         has_volumes=bool(transmission.max() > 0.0) if m else False,
-        has_textures=bool((albedo_tex >= 0).any()),
+        has_textures=bool(
+            (albedo_tex >= 0).any() or (normal_tex >= 0).any()
+            or (orm_tex >= 0).any() or (emissive_tex >= 0).any()
+        ),
         sweep=sweep_scene,
     )

@@ -292,3 +292,106 @@ def test_textures_at_hit_points():
     right = img[8:24, 20:28].mean(axis=(0, 1))
     # the two halves must pick up opposite tints
     assert (left[0] > left[2]) != (right[0] > right[2]), (left, right)
+
+
+def _flat_plane_scene(mats_extra, images, cam_h=6.0):
+    soup = primitives.merge([(primitives.plane(10.0), np.eye(4))],
+                            material_ids=[0])
+    mats = {
+        "albedo": np.ones((1, 3), np.float32) * 0.8,
+        "metallic": np.zeros(1, np.float32),
+        "roughness": np.asarray([0.6], np.float32),
+        "emissive": np.zeros((1, 3), np.float32),
+        "images": images,
+        "texture_size": 8,
+    }
+    mats.update(mats_extra)
+    return pt.scene_from_mesh(soup, mats)
+
+
+def _topdown_render(scene, size=32, spp=4, bounces=2):
+    cam = jnp.asarray([0.0, 6.0, 0.01])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.0, 0.0]),
+                      jnp.asarray([0.0, 0.0, -1.0]))
+    proj = m3.perspective(jnp.pi / 4, 1.0, 0.1, 50.0)
+    img, _ = pt.render(scene, cam, view, proj, width=size, height=size,
+                       spp=spp, max_bounces=bounces)
+    return np.asarray(img)
+
+
+def test_normal_map_at_hit_points():
+    """Normal maps perturb the tracer's shading normal at hit points
+    (MaterialUtils.h:23-42 decode + TBN transform). A flat identity map
+    must match the unmapped render; a tilted map must change NEE shading."""
+    flat = np.zeros((8, 8, 4), np.float32)
+    flat[..., :] = [0.5, 0.5, 1.0, 1.0]          # encodes (0, 0, 1)
+    tilt = np.zeros((8, 8, 4), np.float32)
+    tilt[..., :] = [1.0, 0.5, 0.6, 1.0]          # strong +x tilt
+    base = _flat_plane_scene({}, [])
+    img_base = _topdown_render(base)
+    s_flat = _flat_plane_scene(
+        {"normal_texture": np.asarray([0], np.int32)}, [flat])
+    assert s_flat.has_normal_maps and s_flat.has_textures
+    img_flat = _topdown_render(s_flat)
+    np.testing.assert_allclose(img_flat, img_base, atol=2e-2)
+    s_tilt = _flat_plane_scene(
+        {"normal_texture": np.asarray([0], np.int32)}, [tilt])
+    img_tilt = _topdown_render(s_tilt)
+    delta = np.abs(img_tilt - img_base).mean()
+    assert delta > 0.01, delta
+
+
+def test_orm_map_scales_roughness_metallic():
+    """ORM maps multiply the material factors at hit points: G=roughness,
+    B=metallic (MaterialUtils.h:44-60). A full-metal ORM map on a
+    metallic=1 material kills the diffuse term -> darker away from the
+    specular direction than the dielectric baseline."""
+    orm = np.zeros((8, 8, 4), np.float32)
+    orm[..., :] = [1.0, 1.0, 1.0, 1.0]           # metallic x1, rough x1
+    s_metal = _flat_plane_scene(
+        {"metallic": np.ones(1, np.float32),
+         "orm_texture": np.asarray([0], np.int32)}, [orm])
+    assert s_metal.has_orm_maps
+    orm0 = orm.copy(); orm0[..., 2] = 0.0        # metallic x0
+    s_diel = _flat_plane_scene(
+        {"metallic": np.ones(1, np.float32),
+         "orm_texture": np.asarray([0], np.int32)}, [orm0])
+    img_m = _topdown_render(s_metal)
+    img_d = _topdown_render(s_diel)
+    assert img_m.mean() < img_d.mean() * 0.92, (img_m.mean(), img_d.mean())
+
+
+def test_emissive_map_at_hit_points():
+    emi = np.zeros((8, 8, 4), np.float32)
+    emi[:, :4, :3] = 1.0                          # left half emits
+    s = _flat_plane_scene(
+        {"emissive": np.ones((1, 3), np.float32) * 2.0,
+         "emissive_texture": np.asarray([0], np.int32)}, [emi])
+    assert s.has_emissive_maps
+    img = _topdown_render(s)
+    left = img[8:24, 4:12].mean()
+    right = img[8:24, 20:28].mean()
+    assert left > right + 0.5, (left, right)
+
+
+def test_env_map_sky_matches_bake():
+    """TraceSky parity (PathTracer.cpp:577-620): with sky=SkyParams the
+    tracer's miss radiance bilinearly samples the baked sun-less SkyNode
+    map; straight-up rays must reproduce the bake's zenith texel."""
+    from sailor_tpu.kernels.sky import SkyParams
+
+    soup = primitives.merge([(primitives.plane(1.0), np.eye(4))],
+                            material_ids=[0])
+    params = SkyParams.default(sun_direction=(-0.3, -0.7, -0.4))
+    scene = pt.scene_from_mesh(soup, None, sky=params, env_size=(64, 128))
+    assert scene.env_map is not None
+    up = jnp.asarray([[0.0, 1.0, 0.0]])
+    got = np.asarray(pt.sky_radiance(scene, up, include_sun=False))[0]
+    env = np.asarray(scene.env_map)
+    zen = env[0].mean(axis=0)     # top row ~ zenith ring
+    np.testing.assert_allclose(got, zen, rtol=0.35)
+    # horizon-ward rays must differ from zenith (the bake is non-constant)
+    side = jnp.asarray([[1.0, 0.05, 0.0]])
+    got_h = np.asarray(pt.sky_radiance(scene, m3.normalize(side),
+                                       include_sun=False))[0]
+    assert np.abs(got_h - got).max() > 1e-3
