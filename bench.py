@@ -240,6 +240,11 @@ def bench_forward(width, height, num_lights, num_objects, frames,
     fps = 1.0 / best
     print(f"# avg frame time per {frames}-frame span (s): "
           f"{[round(t, 4) for t in times]}", file=sys.stderr)
+    if "HiZCulledCount" in targets:
+        # occlusion culling vs the previous frame's pyramid is on by
+        # default (ComputeMeshCulling.shader analog)
+        print(f"# hiz culled tris (last frame): "
+              f"{int(targets['HiZCulledCount'])}", file=sys.stderr)
     tag = " textured-GLTF" if content else ""
     return {
         "metric": f"forward+{tag} FPS @{width}x{height}, {num_lights} lights",

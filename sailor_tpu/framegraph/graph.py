@@ -382,7 +382,7 @@ class FrameGraph:
             # sentinel forces the first frame dirty (|key - (-1e30)| > 0;
             # never use inf: inf - inf = nan and nan > 0 is False)
             state["csm/key"] = jnp.full((c * 16 + 3,), -1e30, jnp.float32)
-        if self.config.get("hiz_culling", False):
+        if self.config.get("hiz_culling", True):
             # seed the HiZ culling pyramid with zeros (reverse-Z 0 = "no
             # occluder", culls nothing) so the jit signature is stable
             # between frame 1 and frame 2 — the shapes MUST match what

@@ -160,7 +160,7 @@ class DepthPrepassNode(BaseNode):
         # BEFORE the shard row-shift rewrites edge/zplane constants.
         state = ctx.state or {}
         hiz_mask = None
-        if ctx.config.get("hiz_culling", False) and "hiz/mip0" in state:
+        if ctx.config.get("hiz_culling", True) and "hiz/mip0" in state:
             from sailor_tpu.raster import hiz_cull
 
             mips = [state[k] for k in sorted(state) if k.startswith("hiz/mip")]
@@ -313,21 +313,65 @@ class ShadowPrepassNode(BaseNode):
             return raster()[0][:s, :s]
 
         radius = int(ctx.value("Shadow.EvsmBlurRadius", 4))
+        n_mesh = ctx.mesh_size if ctx.mesh_axis else 1
+        C = cfg.NUM_CSM_CASCADES
 
-        def render_all(_):
-            maps = jnp.stack(
-                [one_cascade(mats[c]) for c in range(cfg.NUM_CSM_CASCADES)]
-            )
+        def evsm_of(maps):
             # EVSM moments for EVERY cascade (the reference blurs cascade 0
             # only and PCFs the rest; all-EVSM turns the per-pixel shadow
             # factor into ONE gather — see csm_shadow_factor_evsm). The
             # blur is separable pad+slice traffic, cheap on this side.
             mom = shadow_k.evsm_warp(maps)  # (C, S, S, 4)
-            mom = blur_k.blur_1d(blur_k.blur_1d(mom, radius, 1), radius, 2)
-            return maps, mom
+            return blur_k.blur_1d(blur_k.blur_1d(mom, radius, 1), radius, 2)
+
+        def render_all(_):
+            maps = jnp.stack([one_cascade(mats[c]) for c in range(C)])
+            return maps, evsm_of(maps)
+
+        if n_mesh > 1:
+            # Cascades sharded over the screen axis instead of replicated:
+            # chip i rasters+warps+blurs cascades (i*k+j) % C and the full
+            # (C, S, S[, 4]) tables reassemble with ONE psum. The psum runs
+            # unconditionally OUTSIDE the cache cond (a collective inside
+            # one lax.cond branch would desync the SPMD channel program);
+            # the cached branch feeds cached/n so psum(cached/n) == cached.
+            k = -(-C // n_mesh)
+            import numpy as _np
+
+            counts = _np.zeros(C, _np.int64)
+            for i in range(n_mesh):
+                for j in range(k):
+                    counts[(i * k + j) % C] += 1
+            inv_counts = jnp.asarray(1.0 / counts, jnp.float32)
+
+            def render_partial(_):
+                idx = jax.lax.axis_index(ctx.mesh_axis)
+                maps_p = jnp.zeros((C, s, s), jnp.float32)
+                mom_p = jnp.zeros((C, s, s, 4), jnp.float32)
+                for j in range(k):
+                    c = (idx * k + j) % C
+                    m_loc = one_cascade(jnp.take(mats, c, axis=0))
+                    mm = evsm_of(m_loc[None])
+                    w_c = inv_counts[c]
+                    maps_p = jax.lax.dynamic_update_slice(
+                        maps_p, (m_loc * w_c)[None], (c, 0, 0)
+                    )
+                    mom_p = jax.lax.dynamic_update_slice(
+                        mom_p, mm * w_c, (c, 0, 0, 0)
+                    )
+                return maps_p, mom_p
 
         state = ctx.state or {}
-        if ctx.config.get("csm_cache", True) and "csm/maps" in state:
+        cache_on = ctx.config.get("csm_cache", True) and "csm/maps" in state
+        if n_mesh > 1:
+            body = render_partial
+            cached = lambda _: (
+                state["csm/maps"] / n_mesh, state["csm/evsm"] / n_mesh,
+            )
+        else:
+            body = render_all
+            cached = lambda _: (state["csm/maps"], state["csm/evsm"])
+        if cache_on:
             # Change-snapshot caching (LightingECS.cpp:262-371 CSMLightState
             # ::Equals): when the cascade matrices AND the geometry are
             # unchanged since last frame, reuse the cached maps — a static
@@ -348,18 +392,17 @@ class ShadowPrepassNode(BaseNode):
             key = jnp.concatenate([mats.reshape(-1), geo_sig])
             prev_key = state["csm/key"]
             dirty = jnp.any(jnp.abs(key - prev_key) > 0.0)
-            maps, moments = jax.lax.cond(
-                dirty,
-                render_all,
-                lambda _: (state["csm/maps"], state["csm/evsm"]),
-                operand=None,
-            )
+            maps, moments = jax.lax.cond(dirty, body, cached, operand=None)
+        else:
+            maps, moments = body(None)
+        if n_mesh > 1:
+            maps = jax.lax.psum(maps, ctx.mesh_axis)
+            moments = jax.lax.psum(moments, ctx.mesh_axis)
+        if cache_on:
             out = targets.setdefault("state_out", {})
             out["csm/maps"] = maps
             out["csm/evsm"] = moments
             out["csm/key"] = key
-        else:
-            maps, moments = render_all(None)
 
         targets["ShadowMaps"] = maps
         targets["LightMatrices"] = mats
@@ -968,7 +1011,7 @@ class DepthHighZNode(BaseNode):
         mips = sampling.build_min_pyramid(targets["Depth"], levels)
         for i, m in enumerate(mips[1:], 1):
             targets[f"HiZ/mip{i}"] = m
-        if ctx.config.get("hiz_culling", False):
+        if ctx.config.get("hiz_culling", True):
             out = targets.setdefault("state_out", {})
             for i, m in enumerate(mips[2:5]):
                 out[f"hiz/mip{i}"] = m

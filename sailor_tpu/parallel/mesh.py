@@ -8,8 +8,9 @@ Decomposition (one axis, "screen"):
 - the frame is split by pixel ROWS (tile-row aligned): each chip bins,
   rasterizes, culls lights, and shades only its slice — zero communication
 - cross-slice passes use collectives: the exposure histogram is a psum,
-  bloom all_gathers the (small) HDR frame, CSM shadow maps are replicated
-  work today (future: shard the 4 cascades over a second mesh axis)
+  bloom all_gathers the (small) HDR frame, and the 4 CSM cascades are
+  sharded over the same axis (chip i rasters cascade i % 4; one psum
+  reassembles the full map/EVSM tables — see ShadowPrepassNode)
 - the path tracer splits pixel rows the same way; samples are independent
   so scaling is embarrassingly parallel
 
