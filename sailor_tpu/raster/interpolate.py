@@ -58,12 +58,19 @@ def pixel_rays(inv_view_projection, camera_position, height: int, width: int,
     return _unproject_rays(inv_view_projection, camera_position, u, v)
 
 
-def pack_triangle_attributes(geometry, src_id):
-    """Per-RASTER-triangle packed attribute table (R, 37).
+def pack_triangle_attributes(geometry, src_id, materials=None):
+    """Per-RASTER-triangle packed attribute table (R, 37 | 48).
 
     Column layout: v0(3) e1(3) e2(3) n0(3) dn1(3) dn2(3) uv0(2) duv1(2)
     duv2(2) c0(4) dc1(4) dc2(4) mat_id(1). Deltas make per-pixel interp a
     2-FMA: a(u,v) = a0 + u*da1 + v*da2.
+
+    With ``materials`` the MATERIAL row is pre-expanded per triangle too:
+    albedo(3) metallic roughness emissive(3) albedo_layer normal_layer
+    opacity — material data is constant per triangle, so folding it here
+    turns the resolve's ~6 per-pixel MaterialTable gathers into T-row
+    gathers at pack time (texture fetches stay per-pixel: they depend on
+    the interpolated uv).
 
     Packing costs a handful of gathers over R ~ 1e5 rows (trivial); the
     per-PIXEL resolve then needs exactly ONE (H*W)-row gather instead of
@@ -83,15 +90,24 @@ def pack_triangle_attributes(geometry, src_id):
     c0 = geometry.color[vidx[:, 0]]
     c1 = geometry.color[vidx[:, 1]]
     c2 = geometry.color[vidx[:, 2]]
-    mat = geometry.material_id[src_id].astype(jnp.float32)[:, None]
-    return jnp.concatenate(
-        [p0, p1 - p0, p2 - p0,
-         n0, n1 - n0, n2 - n0,
-         t0, t1 - t0, t2 - t0,
-         c0, c1 - c0, c2 - c0,
-         mat],
-        axis=1,
-    )
+    mid = geometry.material_id[src_id]
+    mat = mid.astype(jnp.float32)[:, None]
+    cols = [p0, p1 - p0, p2 - p0,
+            n0, n1 - n0, n2 - n0,
+            t0, t1 - t0, t2 - t0,
+            c0, c1 - c0, c2 - c0,
+            mat]
+    if materials is not None:
+        cols += [
+            materials.albedo[mid],
+            materials.metallic[mid][:, None],
+            materials.roughness[mid][:, None],
+            materials.emissive[mid],
+            materials.albedo_texture[mid].astype(jnp.float32)[:, None],
+            materials.normal_texture[mid].astype(jnp.float32)[:, None],
+            materials.opacity[mid][:, None],
+        ]
+    return jnp.concatenate(cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
@@ -165,8 +181,8 @@ def resolve_gbuffer(
     valid = tri_id >= 0
     rid = jnp.maximum(tri_id, 0)
 
-    packed = pack_triangle_attributes(geometry, tri_setup.src_id)
-    px = packed[rid]                     # (H, W, 37) — THE per-pixel gather
+    packed = pack_triangle_attributes(geometry, tri_setup.src_id, materials)
+    px = packed[rid]                     # (H, W, 37|48) — THE per-pixel gather
     v0 = px[..., 0:3]
     e1 = px[..., 3:6]
     e2 = px[..., 6:9]
@@ -193,29 +209,50 @@ def resolve_gbuffer(
     mat_id = px[..., 36].astype(jnp.int32)
 
     if materials is not None:
-        albedo, metallic, roughness, emissive = materials.sample(mat_id, uv)
-        albedo = albedo * color
-        # Tangent-space normal mapping (Standard.shader tangentBasis):
-        # the tangent frame derives per face from the triangle's positions
-        # and UVs — no stored tangents needed with a visibility buffer,
-        # since the packed row already carries all three vertices.
-        n_ts, has_map = materials.sample_normal(mat_id, uv)
-        duv1 = px[..., 20:22]
-        duv2 = px[..., 22:24]
-        denom = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
-        inv = jnp.where(jnp.abs(denom) > 1e-12, 1.0 / denom, 0.0)[..., None]
-        t_raw = (e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2]) * inv
-        # Gram-Schmidt against the shading normal
-        t_ortho = m3.normalize(
-            t_raw - normal * m3.dot(normal, t_raw, keepdims=True)
-        )
-        b = jnp.cross(normal, t_ortho) * jnp.sign(denom)[..., None]
-        n_mapped = m3.normalize(
-            t_ortho * n_ts[..., 0:1] + b * n_ts[..., 1:2] + normal * n_ts[..., 2:3]
-        )
-        normal = jnp.where(
-            (has_map & (jnp.abs(denom) > 1e-12))[..., None], n_mapped, normal
-        )
+        # Material columns ride in the packed triangle row (constant per
+        # triangle) — no per-pixel MaterialTable gathers. Only the
+        # uv-dependent texture fetches stay per-pixel.
+        from sailor_tpu.assets.materials import _sample_texture_stack
+
+        alb = px[..., 37:40]
+        metallic = px[..., 40]
+        roughness = px[..., 41]
+        emissive = px[..., 42:45]
+        if materials.textures.shape[0] > 0:
+            a_layer = px[..., 45].astype(jnp.int32)
+            tex = _sample_texture_stack(materials.textures, a_layer, uv)
+            alb = alb * jnp.where((a_layer >= 0)[..., None], tex[..., :3], 1.0)
+            alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
+        else:
+            alpha = jnp.ones_like(metallic)
+        albedo = jnp.concatenate([alb, alpha[..., None]], axis=-1) * color
+        if materials.textures.shape[0] > 0:
+            # Tangent-space normal mapping (Standard.shader tangentBasis):
+            # the tangent frame derives per face from the triangle's
+            # positions and UVs — no stored tangents needed with a
+            # visibility buffer (the packed row carries all three verts).
+            n_layer = px[..., 46].astype(jnp.int32)
+            ntex = _sample_texture_stack(materials.textures, n_layer, uv)
+            n_ts = ntex[..., :3] * 2.0 - 1.0
+            has_map = n_layer >= 0
+            duv1 = px[..., 20:22]
+            duv2 = px[..., 22:24]
+            denom = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
+            inv = jnp.where(jnp.abs(denom) > 1e-12, 1.0 / denom, 0.0)[..., None]
+            t_raw = (e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2]) * inv
+            # Gram-Schmidt against the shading normal
+            t_ortho = m3.normalize(
+                t_raw - normal * m3.dot(normal, t_raw, keepdims=True)
+            )
+            b = jnp.cross(normal, t_ortho) * jnp.sign(denom)[..., None]
+            n_mapped = m3.normalize(
+                t_ortho * n_ts[..., 0:1] + b * n_ts[..., 1:2]
+                + normal * n_ts[..., 2:3]
+            )
+            normal = jnp.where(
+                (has_map & (jnp.abs(denom) > 1e-12))[..., None],
+                n_mapped, normal,
+            )
     else:
         albedo = color
         metallic = jnp.zeros((H, W))

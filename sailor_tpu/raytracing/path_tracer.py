@@ -436,6 +436,14 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count):
         origin = jnp.where(scattered[:, None], origin, new_origin)
         direction = jnp.where(scattered[:, None], direction, new_dir)
         throughput = jnp.where(scattered[:, None], throughput, new_tp)
+        # SCHEDULING BARRIER: the next bounce's closest-hit pass is data-
+        # independent of this bounce's shadow pass, and XLA schedules such
+        # sibling intersects' prologues together — measured 3x slower per
+        # intersect (65 vs 22 ms at 262k rays on v5e) than a serial chain.
+        # Tying the ray state to the shadow result forces serial order.
+        origin, direction, _ = jax.lax.optimization_barrier(
+            (origin, direction, sres["hit"])
+        )
 
     return radiance, ray_count
 
