@@ -32,7 +32,9 @@ textarea{width:100%;height:220px;background:#14161a;color:#cfd2d8;border:1px sol
 button{background:#2d6cdf;color:#fff;border:0;padding:6px 12px;margin:4px 0;cursor:pointer}
 .obj{cursor:pointer;padding:2px 4px}.obj:hover{background:#2a2d34}.sel{background:#2d6cdf33}
 h3{margin:6px 0;color:#8ab4ff}</style></head><body>
-<div id=left><h3>Hierarchy</h3><div id=tree></div></div>
+<div id=left><h3>Hierarchy</h3><div id=tree></div>
+<h3>Content</h3><div id=content></div>
+<img id=preview style="max-width:300px;display:none;border:1px solid #333"></div>
 <div id=mid>
   <img id=viewport src=/api/frame.png>
   <h3>Inspector <span id=selname></span></h3>
@@ -80,8 +82,30 @@ vp.addEventListener('mousedown',e=>pushEv({type:'mousedown',button:e.button}));
 vp.addEventListener('mouseup',e=>pushEv({type:'mouseup',button:e.button}));
 vp.addEventListener('mousemove',e=>pushEv({type:'mousemove',x:e.offsetX,y:e.offsetY}));
 vp.addEventListener('contextmenu',e=>e.preventDefault());
+async function refreshContent(){
+  const c = await (await fetch('/api/content')).json();
+  const t = document.getElementById('content'); t.innerHTML='';
+  for(const it of c.items||[]){
+    const d=document.createElement('div'); d.className='obj';
+    d.textContent='['+it.kind[0]+'] '+it.path;
+    d.onclick=()=>previewAsset(it); t.appendChild(d);
+  }
+}
+async function previewAsset(it){
+  const img=document.getElementById('preview');
+  document.getElementById('selname').textContent=it.path;
+  if(it.kind==='texture'){
+    img.src='/api/asset?path='+encodeURIComponent(it.path)+'&t='+Date.now();
+    img.style.display='block'; return;
+  }
+  img.style.display='none';
+  const r = await fetch('/api/asset?path='+encodeURIComponent(it.path));
+  const txt = await r.text();
+  document.getElementById('yaml').value = txt;
+}
 setInterval(flushEv, 100);
-refreshWorld(); setInterval(poll, 500); setInterval(refreshWorld, 3000);
+refreshWorld(); refreshContent();
+setInterval(poll, 500); setInterval(refreshWorld, 3000);
 </script></body></html>"""
 
 
@@ -190,7 +214,92 @@ class EditorWebApp:
             iid = (q.get("id") or [""])[0]
             ok = self.editor.update_object(iid, body.decode())
             return 200, "application/json", json.dumps({"ok": ok}).encode()
+        if method == "GET" and url.path == "/api/content":
+            # content browser (Editor/ViewModels AssetsViewModel analog):
+            # the AssetRegistry's scanned files with ids + kinds
+            reg = self._registry()
+            items = []
+            if reg is not None:
+                for path, info in sorted(reg.infos.items()):
+                    items.append({
+                        "path": path,
+                        "file_id": info.file_id,
+                        "kind": _asset_kind(path),
+                    })
+            return 200, "application/json", json.dumps(
+                {"root": getattr(reg, "content_root", ""), "items": items}
+            ).encode()
+        if method == "GET" and url.path == "/api/asset":
+            q = parse_qs(url.query)
+            rel = (q.get("path") or [""])[0]
+            reg = self._registry()
+            if reg is None or rel not in getattr(reg, "infos", {}):
+                return 404, "text/plain", b"unknown asset"
+            return self._asset_preview(reg, rel)
         return 404, "text/plain", b"not found"
+
+    def _registry(self):
+        reg = getattr(self.editor, "registry", None)
+        if reg is None:
+            from sailor_tpu.assets.registry import AssetRegistry
+
+            reg = AssetRegistry("content")
+            try:
+                reg.scan_content_folder()
+            except Exception:
+                pass
+            self.editor.registry = reg
+        return reg
+
+    def _asset_preview(self, reg, rel):
+        """Per-kind preview payload (texture thumbnail / text / summary)."""
+        full = rel  # registry paths already include the content root
+        kind = _asset_kind(rel)
+        if kind == "texture":
+            try:
+                import imageio.v2 as imageio
+
+                img = np.asarray(imageio.imread(full))
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, -1)
+                img = img[..., :3]
+                s = max(1, max(img.shape[:2]) // 256)
+                thumb = np.ascontiguousarray(img[::s, ::s]).astype(np.uint8)
+                return 200, "image/png", encode_png(thumb)
+            except Exception as e:
+                return 500, "text/plain", str(e).encode()
+        if kind == "model":
+            try:
+                from sailor_tpu.assets import gltf as _g
+
+                g = _g.GLTF.load(full)
+                mats = g.materials()
+                soup = None
+                prims = sum(
+                    len(m.get("primitives", []))
+                    for m in g.doc.get("meshes", [])
+                )
+                summary = {
+                    "meshes": len(g.doc.get("meshes", [])),
+                    "primitives": prims,
+                    "materials": len(g.doc.get("materials", [])),
+                    "images": len(g.doc.get("images", [])),
+                    "material_names": [
+                        m.get("name", f"mat{i}")
+                        for i, m in enumerate(g.doc.get("materials", []))
+                    ],
+                    "queues": mats["queue"].tolist(),
+                }
+                return 200, "application/json", json.dumps(summary).encode()
+            except Exception as e:
+                return 500, "text/plain", str(e).encode()
+        # text-like assets: .mat/.renderer/.world/.prefab/.shader/...
+        try:
+            with open(full, "rb") as f:
+                data = f.read(65536)
+            return 200, "text/plain", data
+        except Exception as e:
+            return 500, "text/plain", str(e).encode()
 
     def serve(self, port: int = 8787):
         app = self
@@ -258,3 +367,24 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+_KIND_EXT = {
+    "texture": (".png", ".jpg", ".jpeg", ".bmp", ".tga", ".gif", ".hdr",
+                ".exr"),
+    "model": (".gltf", ".glb"),
+    "material": (".mat",),
+    "framegraph": (".renderer",),
+    "world": (".world",),
+    "prefab": (".prefab",),
+}
+
+
+def _asset_kind(path: str) -> str:
+    import os as _os
+
+    ext = _os.path.splitext(path)[1].lower()
+    for kind, exts in _KIND_EXT.items():
+        if ext in exts:
+            return kind
+    return "file"

@@ -115,3 +115,48 @@ def test_input_endpoint_routes_to_engine():
     assert inp.is_key_down(ik.KEY_W)
     assert inp.is_button_down(1)
     assert inp.cursor == (7, 9)
+
+
+def test_content_browser_and_previews(tmp_path):
+    """Content browser lists the registry's scanned assets and serves
+    per-kind previews (Editor/ViewModels AssetsViewModel analog)."""
+    import imageio.v2 as imageio
+
+    app, ed = _app()
+    # seed a texture so the thumbnail path is exercised
+    tex = (np.random.default_rng(0).uniform(0, 255, (32, 32, 3))).astype(
+        np.uint8
+    )
+    import os
+    os.makedirs("content/Textures", exist_ok=True)
+    imageio.imwrite("content/Textures/_test_tex.png", tex)
+    try:
+        status, ctype, body = app.handle("GET", "/api/content", b"")
+        assert status == 200
+        doc = json.loads(body)
+        paths = {it["path"]: it["kind"] for it in doc["items"]}
+        assert any(p.endswith("DefaultRenderer.renderer") for p in paths)
+        assert any(p.endswith("Editor.world") for p in paths)
+        texp = [p for p in paths if p.endswith("_test_tex.png")]
+        assert texp and paths[texp[0]] == "texture"
+
+        # texture preview -> PNG bytes
+        status, ctype, png = app.handle(
+            "GET", f"/api/asset?path={texp[0]}", b""
+        )
+        assert status == 200 and ctype == "image/png"
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # text preview -> renderer YAML
+        rend = [p for p in paths if p.endswith(".renderer")][0]
+        status, ctype, txt = app.handle("GET", f"/api/asset?path={rend}", b"")
+        assert status == 200 and b"frame" in txt
+
+        # unknown asset -> 404
+        status, _, _ = app.handle("GET", "/api/asset?path=nope.png", b"")
+        assert status == 404
+    finally:
+        os.remove("content/Textures/_test_tex.png")
+        for side in ("content/Textures/_test_tex.png.asset",):
+            if os.path.exists(side):
+                os.remove(side)
