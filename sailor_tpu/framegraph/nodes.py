@@ -486,6 +486,9 @@ class EnvironmentNode(BaseNode):
         return {
             "env/cube": env,
             "env/irradiance": irr,
+            # SH9 projection: the diffuse term evaluates analytically per
+            # pixel (9 FMAs) instead of sampling the irradiance cube
+            "env/sh9": ibl_k.sh9_project(env),
             "env/brdf_lut": lut,
             "env/spec_stack": stack,
             **{f"env/mip{i}": m for i, m in enumerate(mips)},
@@ -789,6 +792,7 @@ class RenderSceneNode(BaseNode):
                 amb_q = ibl_k.ambient_ibl_packed(
                     alb_q, met_q, rough_q, ao_q, n_q, view_dir_q,
                     state["env/irradiance"], state["env/spec_stack"],
+                    irradiance_sh=state.get("env/sh9"),
                 )
             else:
                 mips = [state[k] for k in sorted(state) if k.startswith("env/mip")]

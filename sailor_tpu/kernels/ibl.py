@@ -147,17 +147,21 @@ def env_brdf_approx(f0, roughness, cos_v):
 
 def ambient_ibl_packed(
     albedo, metallic, roughness, ao, normal, view_dir,
-    irradiance_cube, spec_stack,
+    irradiance_cube, spec_stack, irradiance_sh=None,
 ):
     """Fast AmbientLighting: packed-mip specular (8 gathers) + analytic
-    env BRDF (0 gathers) + irradiance cube (4 gathers). The list-of-mips
-    path costs 24 gathers/pixel — at quarter res that was ~26 ms of the
-    1080p frame (gathers are HBM-latency bound)."""
+    env BRDF (0 gathers) + irradiance as SH9 (0 gathers, preferred) or an
+    irradiance cube (4 gathers). The list-of-mips path costs 24
+    gathers/pixel — at quarter res that was ~26 ms of the 1080p frame
+    (gathers are HBM-latency bound)."""
     cos_lo = jnp.maximum(m3.dot(normal, -view_dir, keepdims=True), 0.0)
     lr = m3.reflect(view_dir, normal)
     f0 = 0.04 + (albedo[..., :3] - 0.04) * metallic[..., None]
 
-    irr = cm.sample_cubemap(irradiance_cube, normal)
+    if irradiance_sh is not None:
+        irr = sh9_irradiance(irradiance_sh, normal)
+    else:
+        irr = cm.sample_cubemap(irradiance_cube, normal)
     f = fresnel_schlick_roughness(f0, cos_lo, roughness[..., None])
     kd = (1.0 - f) * (1.0 - metallic[..., None])
     diffuse = kd * albedo[..., :3] * irr
@@ -191,3 +195,55 @@ def ambient_ibl(
     ab = sampling.sample_bilinear(lut, uv)
     spec = (f0 * ab[..., 0:1] + ab[..., 1:2]) * spec_irr
     return ao[..., None] * (diffuse + spec)
+
+
+def sh9_project(env_cube):
+    """Project an environment cube onto 9 RGB spherical harmonics.
+
+    TPU-native replacement for the irradiance cube TEXTURE: diffuse
+    irradiance becomes 9 FMAs per pixel (sh9_irradiance) instead of 4
+    row gathers — gathers are the dominant ambient cost at 1080p.
+    Ramamoorthi & Hanrahan 2001 ("An Efficient Representation for
+    Irradiance Environment Maps"); matches the reference's irradiance
+    convolution (ComputeIrradiance.shader) in the l<=2 band limit.
+    Returns (9, 3) radiance coefficients L_lm.
+    """
+    res = env_cube.shape[1]
+    from sailor_tpu.kernels import cubemap as _cm
+
+    d = _cm.face_directions(res)                       # (6, R, R, 3)
+    # cube texel solid angle: dw = 4 / (res^2 * (u^2+v^2+1)^(3/2))
+    a = (jnp.arange(res) + 0.5) / res * 2.0 - 1.0
+    u, v = jnp.meshgrid(a, a, indexing="xy")
+    dw = 4.0 / (res * res) / (u * u + v * v + 1.0) ** 1.5  # (R, R)
+    dw = jnp.broadcast_to(dw, (6, res, res))
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    basis = jnp.stack([
+        jnp.full_like(x, 0.282095),
+        0.488603 * y, 0.488603 * z, 0.488603 * x,
+        1.092548 * x * y, 1.092548 * y * z,
+        0.315392 * (3.0 * z * z - 1.0),
+        1.092548 * x * z,
+        0.546274 * (x * x - y * y),
+    ])                                                  # (9, 6, R, R)
+    w = basis * dw[None]
+    return jnp.einsum("kfij,fijc->kc", w, env_cube)
+
+
+def sh9_irradiance(sh, normal):
+    """Analytic irradiance E(n)/pi from SH9 radiance coefficients —
+    zero gathers. ``sh`` (9, 3), ``normal`` (..., 3); returns (..., 3)
+    already divided by pi (the Lambert BRDF fold the irradiance-map
+    sampler also bakes in)."""
+    x = normal[..., 0:1]
+    y = normal[..., 1:2]
+    z = normal[..., 2:3]
+    c1, c2, c3, c4, c5 = 0.429043, 0.511664, 0.743125, 0.886227, 0.247708
+    e = (
+        c4 * sh[0]
+        + 2.0 * c2 * (sh[3] * x + sh[1] * y + sh[2] * z)
+        + c1 * sh[8] * (x * x - y * y)
+        + c3 * sh[6] * z * z - c5 * sh[6]
+        + 2.0 * c1 * (sh[4] * x * y + sh[5] * y * z + sh[7] * x * z)
+    )
+    return jnp.maximum(e, 0.0) / jnp.pi

@@ -126,3 +126,31 @@ def test_ambient_ibl_shapes():
     assert out.shape == (h, w, 3)
     assert np.isfinite(np.asarray(out)).all()
     assert float(out.mean()) > 0.05
+
+
+def test_sh9_matches_irradiance_convolution():
+    """SH9 analytic irradiance agrees with the cosine-convolved cube for
+    a smooth environment (Ramamoorthi-Hanrahan band-limit argument)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sailor_tpu.kernels import cubemap as cm
+    from sailor_tpu.kernels import ibl
+
+    # smooth sky-like env: zenith blue -> horizon warm gradient + offset
+    d = cm.face_directions(16)
+    t = jnp.clip(d[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
+    env = (
+        jnp.asarray([0.9, 0.7, 0.5]) * (1.0 - t)
+        + jnp.asarray([0.2, 0.4, 0.9]) * t
+    )
+    sh = ibl.sh9_project(env)
+    irr_cube = ibl.irradiance_map(env, resolution=16, samples=512)
+
+    key = jax.random.PRNGKey(0)
+    n = jax.random.normal(key, (256, 3))
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    got = ibl.sh9_irradiance(sh, n)
+    want = cm.sample_cubemap(irr_cube, n)
+    err = float(jnp.max(jnp.abs(got - want) / (jnp.abs(want) + 1e-3)))
+    assert err < 0.12, err
