@@ -290,7 +290,8 @@ class FrameGraph:
                 new_state = dict(state)
                 st = targets.get("state_out", {})
                 for k, v in st.items():
-                    if k.startswith("hiz/") or k == "particles/trail":
+                    if (k.startswith("hiz/") or k == "particles/trail"
+                            or k == "sky/buf"):
                         new_state[k] = jax.lax.all_gather(
                             v, axis, axis=0, tiled=True
                         )
@@ -382,6 +383,14 @@ class FrameGraph:
             # sentinel forces the first frame dirty (|key - (-1e30)| > 0;
             # never use inf: inf - inf = nan and nan > 0 is False)
             state["csm/key"] = jnp.full((c * 16 + 3,), -1e30, jnp.float32)
+        if self.config.get("sky_cache", True) and any(
+            n.node_name == "Sky" for n in self.nodes
+        ):
+            # sentinel key forces frame-1 dirty (same pattern as csm/key)
+            state["sky/buf"] = jnp.zeros(
+                (self.height, self.width, 3), jnp.float32
+            )
+            state["sky/key"] = jnp.full((18,), -1e30, jnp.float32)
         if self.config.get("hiz_culling", True):
             # seed the HiZ culling pyramid with zeros (reverse-Z 0 = "no
             # occluder", culls nothing) so the jit signature is stable

@@ -424,37 +424,90 @@ class SkyNode(BaseNode):
         hq, wq = -(-h // q), -(-w // q)
         inv_vp = jnp.linalg.inv(ctx.scene.frame.view_projection)
         cam = ctx.scene.frame.camera_position
-        d = interpolate.pixel_rays_strided(
-            inv_vp, cam, h, w, q, ctx.row0, ctx.full_height,
-        ) if q > 1 else interpolate.pixel_rays(
-            inv_vp, cam, h, w, ctx.row0, ctx.full_height,
-        )
         use_stars = ctx.scene.star_dirs.shape[0] > 0
         with_clouds = bool(ctx.config.get("sky_clouds", True))
         cs = int(ctx.config.get("cloud_stride", 2))
-        cloud_override = None
-        if with_clouds and cs > 1:
-            # clouds marched at a further 1/cs of the sky buffer; upsample
-            # in the node so sharded slices stay boundary-exact
-            d_c = interpolate.pixel_rays_strided(
-                inv_vp, cam, h, w, q * cs, ctx.row0, ctx.full_height,
+
+        def render_sky(_):
+            d = interpolate.pixel_rays_strided(
+                inv_vp, cam, h, w, q, ctx.row0, ctx.full_height,
+            ) if q > 1 else interpolate.pixel_rays(
+                inv_vp, cam, h, w, ctx.row0, ctx.full_height,
             )
-            cl_q, ct_q = sky_k.clouds(
-                d_c, ctx.scene.sky, ctx.scene.frame.current_time
+            cloud_override = None
+            if with_clouds and cs > 1:
+                # clouds marched at a further 1/cs of the sky buffer;
+                # upsample in the node so sharded slices stay
+                # boundary-exact
+                d_c = interpolate.pixel_rays_strided(
+                    inv_vp, cam, h, w, q * cs, ctx.row0, ctx.full_height,
+                )
+                cl_q, ct_q = sky_k.clouds(
+                    d_c, ctx.scene.sky, ctx.scene.frame.current_time
+                )
+                cl = ctx.upsample(cl_q, (hq, wq))
+                ct = ctx.upsample(ct_q[..., None], (hq, wq))[..., 0]
+                cloud_override = (cl, ct)
+            color = sky_k.sky_radiance(
+                d, ctx.scene.sky, ctx.scene.frame.current_time,
+                ctx.scene.star_dirs if use_stars else None,
+                ctx.scene.star_colors if use_stars else None,
+                with_clouds=with_clouds,
+                with_stars=use_stars,
+                cloud_override=cloud_override,
             )
-            cl = ctx.upsample(cl_q, (hq, wq))
-            ct = ctx.upsample(ct_q[..., None], (hq, wq))[..., 0]
-            cloud_override = (cl, ct)
-        color = sky_k.sky_radiance(
-            d, ctx.scene.sky, ctx.scene.frame.current_time,
-            ctx.scene.star_dirs if use_stars else None,
-            ctx.scene.star_colors if use_stars else None,
-            with_clouds=with_clouds,
-            with_stars=use_stars,
-            cloud_override=cloud_override,
-        )
-        if q > 1:
-            color = ctx.upsample(color, (h, w))
+            if q > 1:
+                color = ctx.upsample(color, (h, w))
+            return color
+
+        state = ctx.state or {}
+        if ctx.config.get("sky_cache", True) and "sky/buf" in state:
+            # Change-snapshot cache (same pattern as the CSM cache): the
+            # sky depends only on RAY DIRECTIONS, sun and cloud time — a
+            # translating camera reuses last frame's buffer. Key = the 4
+            # corner ray directions (they pin the projective ray grid),
+            # sun params, and cloud time quantized to sky_cache_hz so the
+            # FBM drift re-renders at a low fixed rate (the reference
+            # updates its env cubemap one face per frame in the same
+            # spirit, SkyNode.h m_updateEnvCubemapPattern).
+            p = ctx.scene.sky
+            # row0=0 so every shard computes the SAME key (replicated
+            # state); 4 distinct rays pin the projective ray grid.
+            # Quantized to 1e-5: a pure camera TRANSLATION leaves ray
+            # directions algebraically unchanged but numerically off by
+            # ~1e-7 through the inv_vp round trip — quantization keeps it
+            # a cache hit, while any real rotation (>=1e-4 rad/frame at
+            # interactive rates) still flips the key.
+            corners = jnp.round(
+                interpolate.pixel_rays_strided(
+                    inv_vp, cam, 2, 2, 1, 0, ctx.full_height,
+                ).reshape(-1) * 1e5
+            )
+            hz = float(ctx.config.get("sky_cache_hz", 4.0))
+            tq = jnp.floor(ctx.scene.frame.current_time * hz) \
+                if with_clouds else jnp.float32(0.0)
+            key = jnp.concatenate([
+                corners, p.sun_direction,
+                jnp.stack([jnp.asarray(p.sun_intensity, jnp.float32),
+                           jnp.asarray(p.clouds_coverage, jnp.float32),
+                           jnp.asarray(tq, jnp.float32)]),
+            ])
+            dirty = jnp.any(jnp.abs(key - state["sky/key"]) > 0.0)
+
+            def cached_sky(_):
+                # state holds the FULL-height buffer (gathered when
+                # sharded); each shard reuses its own row slice
+                return jax.lax.dynamic_slice(
+                    state["sky/buf"],
+                    (jnp.asarray(ctx.row0, jnp.int32), 0, 0), (h, w, 3),
+                )
+
+            color = jax.lax.cond(dirty, render_sky, cached_sky, operand=None)
+            out = targets.setdefault("state_out", {})
+            out["sky/buf"] = color
+            out["sky/key"] = key
+        else:
+            color = render_sky(None)
         targets["Sky"] = color
         return targets
 

@@ -248,3 +248,46 @@ def test_env_incremental_face_updates():
     ctx = ctx_for(moved)
     node.prepare(ctx)
     assert "env/cube" in ctx.state
+
+
+def test_sky_change_snapshot_cache():
+    """The sky buffer re-renders only when camera ORIENTATION, sun, or the
+    quantized cloud time change — a translating camera reuses it (the sky
+    depends on ray directions only)."""
+    import jax.numpy as jnp
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.rhi.types import FrameData
+
+    asset = FrameGraphAsset.from_yaml("frame:\n - name: Sky\n")
+    fg = FrameGraph(asset, W, H, config={"sky_clouds": False})
+    scene = _scene_view()
+    state = fg.initial_state()
+    assert "sky/buf" in state
+    fg.prepare(scene, state)
+    t1, s1 = fg.process(scene, state)
+    sky1 = np.asarray(s1["sky/buf"])
+    assert sky1.max() > 0.0
+    np.testing.assert_array_equal(np.asarray(t1["Sky"]), sky1)
+
+    # pure camera translation: same ray directions -> cached, identical
+    f = scene.frame
+    cam2 = f.camera_position + jnp.asarray([0.5, 0.2, -0.3])
+    # rebuild view with the same orientation (translate the look target too)
+    view2 = f.view.at[:3, 3].add(
+        -(f.view[:3, :3] @ jnp.asarray([0.5, 0.2, -0.3]))
+    )
+    frame2 = FrameData.create(
+        view2, f.projection, cam2, 0.1, 100.0, time=0.05, dt=1 / 60
+    )
+    t2, s2 = fg.process(scene.replace(frame=frame2), s1)
+    np.testing.assert_array_equal(np.asarray(t2["Sky"]), sky1)
+
+    # rotation changes ray directions -> re-render, buffer differs
+    cam3 = f.camera_position
+    view3 = m3.look_at(cam3, cam3 + jnp.asarray([1.0, -0.1, 0.2]),
+                       jnp.asarray([0.0, 1.0, 0.0]))
+    frame3 = FrameData.create(
+        view3, f.projection, cam3, 0.1, 100.0, time=0.1, dt=1 / 60
+    )
+    t3, s3 = fg.process(scene.replace(frame=frame3), s2)
+    assert np.abs(np.asarray(t3["Sky"]) - sky1).max() > 0.0
