@@ -1036,7 +1036,23 @@ class EyeAdaptationNode(BaseNode):
         )
         mode = str(ctx.config.get("tonemap", "aces"))
         ldr = tm.tonemap(hdr, avg, mode=mode)
-        targets["Final"] = m3.linear_to_srgb(ldr)
+        srgb = m3.linear_to_srgb(ldr)
+        if ctx.config.get("ldr_dither", True):
+            # g_ditherPatternSampler analog (DefaultRenderer.renderer:9):
+            # +-0.5/255 blue-noise on the sRGB output breaks 8-bit banding
+            # in sky/light gradients. The 64x64 void-and-cluster mask is
+            # tiled arithmetically — zero gathers (row phase offsets the
+            # tile so the repeat is non-obvious).
+            from sailor_tpu.raytracing.bluenoise import blue_noise_mask
+
+            bn = jnp.asarray(blue_noise_mask(64), jnp.float32)  # [0,1)
+            reps_y = -(-h // 64) + 1
+            reps_x = -(-w // 64)
+            tiled = jnp.tile(bn, (reps_y, reps_x))
+            r0 = jnp.asarray(ctx.row0, jnp.int32) % 64
+            tiled = jax.lax.dynamic_slice(tiled, (r0, 0), (h, w))
+            srgb = srgb + (tiled[..., None] - 0.5) * (1.0 / 255.0)
+        targets["Final"] = jnp.clip(srgb, 0.0, 1.0)
         targets.setdefault("state_out", {})["avg_luminance"] = avg
         return targets
 
