@@ -111,7 +111,21 @@ class Renderer:
             self.fix_lost_device()
             return self._push_frame(scene_view)
 
+    def profile_nodes(self, repeats: int = 2) -> dict:
+        """One per-node device-timing pass on the last pushed scene
+        (Tracy 'GPU cost per node' analog); results land in
+        ``stats['node_ms']`` for the overlay HUD / console."""
+        scene = getattr(self, "_last_scene", None)
+        if scene is None:
+            return {}
+        _, _, timings = self.frame_graph.process_pernode(
+            scene, dict(self.state), repeats=repeats
+        )
+        self.stats["node_ms"] = timings
+        return timings
+
     def _push_frame(self, scene_view):
+        self._last_scene = scene_view
         if len(self._in_flight) >= self.max_frames_in_flight:
             jax.block_until_ready(self._in_flight.pop(0))
         t0 = time.perf_counter()

@@ -40,6 +40,7 @@ class Console:
         self.register("world.save", self._cmd_world_save)
         self.register("refresh", self._cmd_refresh)
         self.register("capture", self._cmd_capture)
+        self.register("profile", self._cmd_profile)
         # benchmark commands (reference: memory/vector/set/map/list/octree.benchmark)
         from sailor_tpu.utils import benchmarks
 
@@ -63,6 +64,22 @@ class Console:
             return "no renderer attached"
         self.renderer.capture.trigger()
         return "capture armed for next frame"
+
+    def _cmd_profile(self, args) -> str:
+        """Per-node device timings of the current frame graph (Tracy GPU
+        cost listing analog); also feeds the overlay HUD."""
+        if self.renderer is None or not hasattr(self.renderer, "profile_nodes"):
+            return "no renderer attached"
+        t = self.renderer.profile_nodes()
+        if not t:
+            return "no frame pushed yet"
+        total = sum(t.values())
+        lines = [
+            f"{name}: {ms:7.2f} ms"
+            for name, ms in sorted(t.items(), key=lambda kv: -kv[1])
+        ]
+        lines.append(f"TOTAL (sum of nodes): {total:.2f} ms")
+        return "\n".join(lines)
 
     def _cmd_stats_memory(self, args) -> str:
         """GPU/host arena occupancy (Renderer.cpp stats.memory analog)."""

@@ -89,6 +89,12 @@ def stats_hud(ov: OverlayContext, stats: dict, console_lines=()) -> None:
     ]
     if "triangles" in stats:
         lines.append(f"tris {stats['triangles']}")
+    # per-node device timings when a `profile` pass has run (Tracy GPU
+    # cost listing analog) — top entries, heaviest first
+    node_ms = stats.get("node_ms")
+    if node_ms:
+        for name, ms in sorted(node_ms.items(), key=lambda kv: -kv[1])[:8]:
+            lines.append(f"{name[:18]:<18}{ms:6.2f}ms")
     pad, lh = 4, 12
     h = pad * 2 + lh * (len(lines) + len(tuple(console_lines)))
     ov.rect(0, 0, 190, h, fill=(0, 0, 0, 130))

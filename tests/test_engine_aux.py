@@ -275,3 +275,31 @@ def test_fix_lost_device_recovers():
     assert boom["n"] == 1
     assert r.stats.get("device_losses") == 1
     assert np.isfinite(np.asarray(targets["Final"])).all()
+
+
+def test_console_profile_and_hud_timings():
+    """`profile` console command runs a per-node device-timing pass and
+    the overlay HUD renders the entries (Tracy GPU-cost listing analog)."""
+    from sailor_tpu.engine import World
+    from sailor_tpu.engine.app import EngineLoop, Renderer
+    from sailor_tpu.engine.console import Console
+    from sailor_tpu.engine.overlay import OverlayContext, stats_hud
+    from sailor_tpu.kernels.sky import SkyParams
+
+    world = World.load("content/Editor.world")
+    r = Renderer(
+        "content/DefaultRenderer.renderer", 128, 64,
+        config={"bin_capacity": 256, "bin_rounds": 2, "sky_clouds": False,
+                "shadow_resolution": 128, "env_resolution": 16},
+    )
+    con = Console(world=world, renderer=r)
+    assert con.execute("profile") == "no frame pushed yet"
+    loop = EngineLoop(world, r, sky=SkyParams.default())
+    loop.process_cpu_frame(1 / 60)
+    out = con.execute("profile")
+    assert "DepthPrepass" in out and "TOTAL" in out, out
+    assert r.stats["node_ms"]
+    ov = OverlayContext(128, 64)
+    stats_hud(ov, r.stats)
+    canvas = np.asarray(ov.canvas())
+    assert canvas[..., 3].max() > 0  # HUD drew something
