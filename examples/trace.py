@@ -24,6 +24,14 @@ def main():
     ap.add_argument("--out", default="/tmp/trace.png")
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--gltf", default=None, help="render a GLTF/GLB file instead")
+    # PathTracer.cpp:30-73 CLI parity: camera position/target + flat
+    # ambient override + raymarched-sky toggle
+    ap.add_argument("--camera", type=float, nargs=3, default=[0.0, 4.0, 9.0])
+    ap.add_argument("--target", type=float, nargs=3, default=[0.0, 0.6, 0.0])
+    ap.add_argument("--ambient", type=float, nargs=3, default=None,
+                    help="flat ambient sky radiance (overrides gradient)")
+    ap.add_argument("--sky", action="store_true",
+                    help="bake the engine's raymarched SkyNode environment")
     args = ap.parse_args()
 
     import jax
@@ -63,13 +71,20 @@ def main():
         soup = primitives.merge(meshes, mat_ids)
         materials = {k2: np.asarray(v, np.float32) for k2, v in mats.items()}
 
+    sky_kw = {}
+    if args.ambient is not None:
+        sky_kw = {"sky_zenith": args.ambient, "sky_horizon": args.ambient}
+    if args.sky:
+        from sailor_tpu.kernels.sky import SkyParams
+
+        sky_kw["sky"] = SkyParams.default()
     t0 = time.time()
-    scene = pt.scene_from_mesh(soup, materials)
+    scene = pt.scene_from_mesh(soup, materials, **sky_kw)
     print(f"BVH build: {time.time()-t0:.2f}s  ({scene.num_triangles} tris)")
 
     w = h = args.size
-    cam = jnp.asarray([0.0, 4.0, 9.0])
-    view = m3.look_at(cam, jnp.asarray([0.0, 0.6, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    cam = jnp.asarray(args.camera)
+    view = m3.look_at(cam, jnp.asarray(args.target), jnp.asarray([0.0, 1.0, 0.0]))
     proj = m3.perspective(jnp.pi / 4, w / h, 0.1, 100.0)
 
     t0 = time.time()
