@@ -202,10 +202,112 @@ def render_queues():
     return _to_u8(targets["Final"])
 
 
+DUCK_GLB = "/root/reference/Content/Models/DuckGlb/Duck.glb"
+
+
+def render_content():
+    """Textured GLTF (Duck.glb) + floor through the FULL frame graph —
+    the real-content golden (ModelImporter.cpp:382-520 parity)."""
+    from sailor_tpu.assets import gltf
+    from sailor_tpu.assets.materials import MaterialTable
+    from sailor_tpu.rhi.types import FrameData
+
+    soup, mats = gltf.load_merged(DUCK_GLB)
+    g = gltf.GLTF.load(DUCK_GLB)
+    images = g.load_texture_images()
+    floor = primitives.merge([(primitives.plane(12.0), np.eye(4))])
+    n_mat = len(mats["albedo"])
+    pos = np.concatenate([np.asarray(floor["position"], np.float32),
+                          np.asarray(soup["position"], np.float32)])
+    nrm = np.concatenate([np.asarray(floor["normal"], np.float32),
+                          np.asarray(soup["normal"], np.float32)])
+    uv = np.concatenate([np.asarray(floor["uv"], np.float32),
+                         np.asarray(soup["uv"], np.float32)])
+    col = np.concatenate([np.asarray(floor["color"], np.float32),
+                          np.asarray(soup["color"], np.float32)])
+    idx = np.concatenate([np.asarray(floor["indices"], np.int32),
+                          np.asarray(soup["indices"], np.int32)
+                          + len(floor["position"])])
+    mid = np.concatenate([np.full(len(floor["indices"]), n_mat, np.int32),
+                          np.asarray(soup["material_id"], np.int32)])
+    floor_row = {
+        "albedo": [[0.55, 0.55, 0.58]], "metallic": [0.0],
+        "roughness": [0.75], "emissive": [[0, 0, 0]],
+        "albedo_texture": [-1], "normal_texture": [-1], "queue": [0],
+        "alpha_cutoff": [0.5], "opacity": [1.0],
+    }
+    table = {
+        k: np.concatenate(
+            [np.asarray(v), np.asarray(floor_row[k], np.asarray(v).dtype)]
+        )
+        for k, v in mats.items() if k in floor_row
+    }
+    materials = MaterialTable.from_host(table, images, texture_size=128)
+    geo = Geometry(
+        position=jnp.asarray(pos), normal=jnp.asarray(nrm),
+        uv=jnp.asarray(uv), color=jnp.asarray(col),
+        indices=jnp.asarray(idx), material_id=jnp.asarray(mid),
+    )
+    lights = Lights.from_host(
+        types=[DIRECTIONAL],
+        positions=[[0, 0, 0]], directions=[[-0.4, -0.75, -0.35]],
+        intensities=[[3.2, 3.0, 2.7]], attenuations=[[1, 0, 0]],
+        radii=[0.0],
+    )
+    cam = jnp.asarray([2.6, 2.2, 3.2])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.9, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, W / H, 0.1, 60.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 60.0, time=0.0, dt=1 / 60)
+    sky = SkyParams.default(sun_direction=(-0.4, -0.75, -0.35))
+    scene = SceneView.create(geo, lights, frame, sky=sky, materials=materials)
+    fg = FrameGraph(
+        FrameGraphAsset.load(
+            os.path.join(os.path.dirname(GOLDEN_DIR), "..",
+                         "content/DefaultRenderer.renderer")
+        ),
+        W, H,
+        config={"z_far": 60.0, "shadow_resolution": 256, "env_resolution": 16,
+                "bin_capacity": 256, "bin_rounds": 2, "sky_clouds": False},
+    )
+    state = fg.initial_state()
+    fg.prepare(scene, state)
+    targets, _ = fg.process(scene, state)
+    return _to_u8(targets["Final"])
+
+
+def render_tracer_textured():
+    """Duck.glb through the path tracer with its albedo texture and the
+    baked raymarched-sky environment (TraceSky + MaterialUtils parity)."""
+    import jax
+
+    from sailor_tpu.assets import gltf
+    from sailor_tpu.raytracing import path_tracer as pt
+
+    soup, mats = gltf.load_merged(DUCK_GLB)
+    g = gltf.GLTF.load(DUCK_GLB)
+    mats = dict(mats)
+    mats["images"] = g.load_texture_images()
+    mats["texture_size"] = 128
+    scene = pt.scene_from_mesh(
+        soup, mats, sky=SkyParams.default(sun_direction=(-0.4, -0.75, -0.35)),
+        env_size=(32, 64), sun_direction=(-0.4, -0.75, -0.35),
+    )
+    cam = jnp.asarray([2.4, 1.9, 2.9])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.9, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+    img, _ = pt.render(scene, cam, view, proj, width=96, height=96, spp=8,
+                       max_bounces=2, key=jax.random.PRNGKey(3))
+    return _to_u8(m3.linear_to_srgb(jnp.clip(img, 0.0, 1.0)))
+
+
 SCENES = {
     "forward_frame": render_forward_frame,
     "tracer": render_tracer,
     "queues": render_queues,
+    "content": render_content,
+    "tracer_textured": render_tracer_textured,
 }
 
 
