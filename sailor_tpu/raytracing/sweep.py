@@ -21,9 +21,14 @@ triangle-cluster) tiles at once:
 - Culling: triangles are sorted into spatial CLUSTERS (binary-SAH BVH
   leaf order, bvh.py — native builder when available) and a cheap exact
   per-ray cluster slab test runs in XLA first; the kernel's grid steps
-  are (ray_block, cluster) and a scalar-prefetched mask skips dead
-  pairs entirely (no fetch — the rhs block index holds its previous
-  value — and no compute).  Coherent ray blocks skip most clusters.
+  are (ray_block, visit step) where each block's clusters are visited
+  NEAR-TO-FAR by slab entry distance, and a scalar-prefetched array of
+  per-sub-block entry-distance bits drives both dead-pair skipping (no
+  fetch — the rhs block index holds its previous value — and no
+  compute) and an ordered-traversal early-out: once every ray of a
+  sub-block has a hit nearer than the next cluster's entry, the rest of
+  the sweep is skipped (any-hit rays retire the same way).  Coherent
+  ray blocks touch only the few clusters in front of their hits.
 
 Same result contract as bvh8.intersect: dict(t, tri (original id), u,
 v, hit).  Winner u/v/t are refined with one exact Moller-Trumbore on the
@@ -134,29 +139,43 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, *,
     )
 
 
-def _sweep_kernel(mask_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
-                  t_ref, i_ref, *, n_blocks: int, n_clusters: int,
-                  any_hit: bool = False):
-    """One program = (ray block b, cluster c); c is the inner grid dim.
+def _sweep_kernel(sc_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
+                  t_ref, i_ref, bound_ref, *, n_blocks: int,
+                  n_clusters: int, any_hit: bool = False):
+    """One program = (ray block b, visit step j); j is the inner grid dim.
 
-    mask_ref holds PER-SUB-BLOCK liveness: entry (b*nsub + s)*C + c is 1
-    iff any ray of sub-block s (SUB rays) of block b hits cluster c's
-    AABB. The kernel statically unrolls the nsub sub-blocks and each runs
-    under its own pl.when — with spatially sorted rays most sub-blocks of
-    a block skip most clusters, so the (Rb, Tb) epilogue (the VPU-bound
-    cost) only runs on live (sub-block, cluster) pairs. Outputs are
-    (Rb, 1) per-ray COLUMN blocks (Mosaic wants the sublane dim
-    8-divisible; a (1, Rb) row block is illegal), revisited across c and
-    initialized at c == 0.
+    The host side sorts each block's clusters near-to-far by the block's
+    minimum slab-entry distance, and packs ONE scalar per (sub-block,
+    step): the f32 BITS of the sub-block's minimum entry distance to
+    that step's cluster (+inf bits when no ray of the sub-block touches
+    it).  Positive f32 bits compare like the floats, so the liveness
+    test and the occlusion test collapse into one int compare against
+    bound_ref[s] — an SMEM scratch holding the bits of the sub-block's
+    max-over-rays current best t.  A sub-block stops sweeping as soon
+    as every ray's best hit is nearer than the next cluster's entry
+    (ordered traversal early-out); retired any-hit rays drive the bound
+    to -1.0's bits, which no entry can undercut.  Outputs are (Rb, 1)
+    per-ray COLUMN blocks (Mosaic wants the sublane dim 8-divisible; a
+    (1, Rb) row block is illegal), revisited across j and initialized
+    at j == 0.
     """
     b = pl.program_id(0)
     c = pl.program_id(1)
     nsub = t_ref.shape[0] // SUB
 
+    def subbits(arr):
+        # f32 bits of max over the sub-block rows (monotonic for the
+        # nonneg best-t values; dead rays' -1.0 maps to a negative int)
+        return jax.lax.bitcast_convert_type(
+            jnp.max(arr), jnp.int32
+        )
+
     @pl.when(c == 0)
     def _():
         t_ref[...] = tmax_ref[...]
         i_ref[...] = jnp.full(i_ref.shape, -1, jnp.int32)
+        for s0 in range(nsub):
+            bound_ref[s0] = subbits(tmax_ref[pl.ds(s0 * SUB, SUB), :])
 
     dot = functools.partial(
         jax.lax.dot_general,
@@ -166,9 +185,10 @@ def _sweep_kernel(mask_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
     gs = gs_ref[...]                    # (24, Tb)
     gp = gp_ref[...]                    # (16, Tb)
     live = (id_ref[...] >= 0)           # (1, Tb)
+    cid = sc_ref[n_blocks * nsub * n_clusters + b * n_clusters + c]
 
     for s in range(nsub):
-        @pl.when(mask_ref[(b * nsub + s) * n_clusters + c] == 1)
+        @pl.when(sc_ref[(b * nsub + s) * n_clusters + c] < bound_ref[s])
         def _(s=s):
             # K=8-aligned dot slices (zero pad rows in gs/gp line up with
             # zero feature columns) — Mosaic lowers K<8 contractions to
@@ -196,13 +216,12 @@ def _sweep_kernel(mask_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
                 i_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
                     found, 0, i_ref[pl.ds(s * SUB, SUB), :]
                 )
-                t_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
-                    found, -1.0, best
-                )
+                newt = jnp.where(found, -1.0, best)
+                t_ref[pl.ds(s * SUB, SUB), :] = newt
             else:
                 tm = jnp.where(ok, tval, jnp.inf)
                 row_best = jnp.min(tm, axis=1, keepdims=True)  # (SUB, 1)
-                gidx = c * tm.shape[1] + jax.lax.broadcasted_iota(
+                gidx = cid * tm.shape[1] + jax.lax.broadcasted_iota(
                     jnp.int32, tm.shape, 1
                 )
                 row_idx = jnp.max(
@@ -210,12 +229,13 @@ def _sweep_kernel(mask_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
                     axis=1, keepdims=True,
                 )
                 found = row_idx >= 0
-                t_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
-                    found, row_best, best
-                )
+                newt = jnp.where(found, row_best, best)
+                t_ref[pl.ds(s * SUB, SUB), :] = newt
                 i_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
                     found, row_idx, i_ref[pl.ds(s * SUB, SUB), :]
                 )
+            # tighten the early-out bound with the new best-t maximum
+            bound_ref[s] = subbits(newt)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "sort_rays"))
@@ -298,7 +318,7 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
         d = d[order]
         tmax = tmax[order]
 
-    hit_c, _ = slab(o, d, tmax)
+    hit_c, tn = slab(o, d, tmax)
 
     m = jnp.cross(o, d)
     z1 = jnp.zeros((rpad, 1))
@@ -306,16 +326,32 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
         [d, m, z1, z1, o, jnp.ones((rpad, 1)), d, z1], axis=1
     )  # (Rp, 16): [d, m, 0, 0 | o, 1, d, 0] — see g_side/g_plane layout
 
-    sub = jnp.any(hit_c.reshape(nb * nsub, SUB, nc), axis=1)  # (B*S, C)
-    mask = jnp.any(sub.reshape(nb, nsub, nc), axis=1)         # (B, C)
-    sub_i = sub.astype(jnp.int32).reshape(-1)
+    # Per-sub-block minimum entry distance to each cluster (+inf where no
+    # ray of the sub-block pierces its AABB) — this one array carries BOTH
+    # the liveness mask and the near-to-far metric; its f32 bits compare
+    # like the floats, so the kernel tests it against the running best-t
+    # bound with a single int compare.
+    entry = jnp.where(hit_c, jnp.maximum(tn, 0.0), jnp.inf)
+    e_sub = jnp.min(entry.reshape(nb * nsub, SUB, nc), axis=1)  # (B*S, C)
+    e_blk = jnp.min(e_sub.reshape(nb, nsub, nc), axis=1)        # (B, C)
+    # visit order per block: nearest cluster first, dead (inf) last
+    order = jnp.argsort(e_blk, axis=1).astype(jnp.int32)        # (B, C)
+    e_sub_p = jnp.take_along_axis(
+        e_sub.reshape(nb, nsub, nc), order[:, None, :], axis=2
+    )
+    e_bits = jax.lax.bitcast_convert_type(e_sub_p, jnp.int32).reshape(-1)
 
-    # hold-previous fetch index per (b, c): dead steps re-point at the last
-    # live cluster so the rhs block is not re-fetched
-    live_c = jnp.where(mask, jnp.arange(nc, dtype=jnp.int32)[None, :], -1)
-    fetch = jax.lax.cummax(live_c, axis=1)
-    fetch = jnp.maximum(fetch, 0).reshape(-1)
-    sc = jnp.concatenate([sub_i, fetch])
+    # hold-previous fetch per (b, j): dead steps re-point at the cluster
+    # of the last live step so the rhs block is not re-fetched. The visit
+    # order is not id-monotonic, so hold the last live STEP index and
+    # gather its cluster id.
+    blive = jnp.isfinite(e_sub_p).any(axis=1)                   # (B, C)
+    jlast = jax.lax.cummax(
+        jnp.where(blive, jnp.arange(nc, dtype=jnp.int32)[None, :], -1),
+        axis=1,
+    )
+    fetch = jnp.take_along_axis(order, jnp.maximum(jlast, 0), axis=1)
+    sc = jnp.concatenate([e_bits, fetch.reshape(-1)])
 
     def fmap(b, c, sc):
         return (b, 0)
@@ -343,6 +379,7 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
             pl.BlockSpec((rb, 1), omap),
             pl.BlockSpec((rb, 1), omap),
         ),
+        scratch_shapes=[pltpu.SMEM((nsub,), jnp.int32)],
     )
     best_t, best_i = common.pallas_call(
         kernel,
