@@ -184,10 +184,16 @@ def clouds(d, params: SkyParams, time=0.0, *, steps: int = 12):
         cov = jnp.clip(base - (1.0 - params.clouds_coverage), 0.0, 1.0)
         return cov * params.clouds_density
 
-    trans = jnp.ones(d.shape[:-1])
-    light = jnp.zeros(d.shape[:-1])
-    for i in range(steps):
-        p = d * (t0 + (i + 0.5) * seg)[..., None]
+    # fori_loop, not unrolled: the two FBM taps per step trace to ~800
+    # equations each (8 hashed corners x 5+3 octaves), so 12 unrolled
+    # steps put ~19k equations into every graph containing the sky —
+    # half the whole 1080p frame's trace/compile time. The loop carries
+    # are two half-res planes (~2 MB of HBM traffic per step), noise
+    # against the march's transcendental math; the sky node is also
+    # change-snapshot cached, so steady-state frames skip it entirely.
+    def march(i, carry):
+        trans, light = carry
+        p = d * (t0 + (i.astype(jnp.float32) + 0.5) * seg)[..., None]
         rho = density(p)
         a = jnp.exp(-rho * seg * params.clouds_attenuation1 * 1e-2)
         # cheap secondary attenuation toward the sun (one tap above);
@@ -197,6 +203,12 @@ def clouds(d, params: SkyParams, time=0.0, *, steps: int = 12):
         sun_t = jnp.exp(-rho_up * params.clouds_attenuation2 * 10.0)
         light = light + trans * (1.0 - a) * sun_t
         trans = trans * a
+        return trans, light
+
+    trans, light = jax.lax.fori_loop(
+        0, steps, march,
+        (jnp.ones(d.shape[:-1]), jnp.zeros(d.shape[:-1])),
+    )
     cloud_col = (light * phase * 15.0 + (1.0 - trans) * params.ambient * 0.5)[
         ..., None
     ] * jnp.asarray([1.0, 1.0, 1.0])
