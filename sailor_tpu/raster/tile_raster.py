@@ -28,10 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 from sailor_tpu.kernels import common
 
 # Tile shape aligned to the VPU: 8-row sublanes x 128 lanes. 64-row tiles
-# halve the (tiles x capacity) slot tables behind the raster's pre-gathers
-# (the dominant DepthPrepass cost: slot gathers scale with ntiles*capacity,
-# dead slots included) at the price of denser per-tile candidate lists.
-TILE_H = 64
+# were chosen to halve the (tiles x capacity) slot tables behind the old
+# binned raster's pre-gathers; the streaming raster has no slot tables, so
+# shorter tiles (fewer pixels tested per candidate) may now win — override
+# with SAILOR_RASTER_TILE_H (8-multiple) for A/B runs.
+import os as _os
+
+TILE_H = int(_os.environ.get("SAILOR_RASTER_TILE_H", "64"))
+assert TILE_H % 8 == 0, "TILE_H must be a sublane multiple"
 TILE_W = 128
 CHUNK = 32  # triangles processed per inner iteration
 

@@ -53,9 +53,12 @@ from sailor_tpu.raytracing import bvh as bvh2
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CLUSTER = 256       # triangles per cluster (rhs tile N)
-RAY_BLOCK = 2048    # rays per block (lhs tile M)
-SUB = 256           # rays per masked sub-block inside a block (M sub-tile)
+import os as _os
+
+# A/B-tunable via env (kernel-shape experiments without code edits):
+CLUSTER = int(_os.environ.get("SAILOR_SWEEP_CLUSTER", "256"))
+RAY_BLOCK = int(_os.environ.get("SAILOR_SWEEP_RAY_BLOCK", "2048"))
+SUB = int(_os.environ.get("SAILOR_SWEEP_SUB", "256"))
 
 
 @struct.dataclass
