@@ -90,8 +90,16 @@ class TraceScene:
 
 def _isect(scene: "TraceScene", origin, direction, t_max=None, *,
            any_hit: bool = False, active=None):
-    """Closest/any-hit dispatch: MXU sweep when built, else BVH8."""
-    if scene.sweep is not None:
+    """Closest/any-hit dispatch: MXU sweep when built, else BVH8.
+
+    The sweep's per-(sub-block, cluster) entry table is a scalar-prefetch
+    array living in SMEM (~1 MB budget on v5e, measured round 2); when a
+    (ray count x cluster count) combination would blow it, fall back to
+    the BVH8 megakernel — shapes are static at trace time so the choice
+    costs nothing."""
+    if scene.sweep is not None and sweep_mod.scalar_bytes(
+        scene.sweep, origin.shape[0]
+    ) <= sweep_mod.SMEM_BUDGET:
         return sweep_mod.intersect(
             scene.sweep, origin, direction, t_max,
             any_hit=any_hit, active=active,

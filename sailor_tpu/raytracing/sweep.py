@@ -60,6 +60,20 @@ CLUSTER = int(_os.environ.get("SAILOR_SWEEP_CLUSTER", "256"))
 RAY_BLOCK = int(_os.environ.get("SAILOR_SWEEP_RAY_BLOCK", "2048"))
 SUB = int(_os.environ.get("SAILOR_SWEEP_SUB", "256"))
 
+# v5e SMEM holds ~1 MB of scalar-prefetch data (measured round 2); the
+# per-(sub-block, visit) entry table must fit or Mosaic rejects the kernel.
+SMEM_BUDGET = int(_os.environ.get("SAILOR_SWEEP_SMEM", str(1 << 20)))
+
+
+def scalar_bytes(scene: "SweepScene", num_rays: int) -> int:
+    """Size of intersect()'s scalar-prefetch array for ``num_rays``."""
+    from sailor_tpu.kernels import common
+
+    rpad = common.round_up(max(num_rays, RAY_BLOCK), RAY_BLOCK)
+    nb = rpad // RAY_BLOCK
+    nsub = RAY_BLOCK // SUB
+    return 4 * (nb * nsub + nb) * scene.n_clusters
+
 
 @struct.dataclass
 class SweepScene:
