@@ -74,11 +74,30 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
         grid-(ty, tx, k) streaming kernel — no slot tables, one pass
         (tile_raster.rasterize_stream; measured 19 -> 14.6 ms for the
         1080p opaque raster vs dense).
+      - "dma": bin_sorted segments walked by a per-tile double-buffered
+        manual-DMA pipeline (tile_raster.rasterize_dma) — no dead grid
+        steps, no per-tile cap, finer window granularity.
       - "dense": bin_all fixed-capacity slot tables + per-round merge —
         kept for A/B and small scenes.
     """
     tw, th = tile_raster.TILE_W, tile_raster.TILE_H
-    if config.get("raster_mode", "stream") == "stream":
+    mode = config.get("raster_mode", "stream")
+    if mode == "dma":
+        rb = rsetup.bin_sorted(
+            valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tw, tile_h=th,
+        )
+
+        def raster(z_bounds=None, _rb=rb):
+            d, t, _ = tile_raster.rasterize_dma(
+                tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
+                z_bounds=z_bounds,
+                dchunk=int(config.get("stream_chunk", 128)),
+            )
+            return d, t
+
+        return raster, rb[5]  # small tris never drop; big-capacity only
+    if mode == "stream":
         chunk = int(config.get("stream_chunk", 256))
         kmax = max(1, -(-(capacity * rounds) // chunk))
         rb = rsetup.bin_sorted(

@@ -367,6 +367,201 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
     )(*inputs)
     return depth, tid, overflow
 
+def _raster_kernel_dma(sc_ref, rows_hbm, big_ref, depth_ref, tid_ref,
+                       buf, sem, *, ntx: int, ntiles: int, dchunk: int,
+                       zlo_ref=None, zhi_ref=None):
+    """Manual-DMA streaming raster: grid (ty, tx) — each program walks its
+    tile's exact [w0, w0+nw) window span of the tile-major sorted rows
+    array with a double-buffered async copy pipeline.
+
+    vs the grid-k streaming kernel (_raster_kernel_stream): no dead grid
+    steps (the window loop bound is the tile's true count, not a static
+    kmax), no per-tile segment cap (overflow-free), and the window
+    granularity is ``dchunk`` rows instead of 256 — boundary slop drops
+    proportionally. The outputs double as VMEM accumulators (one visit
+    per block), so the merge needs no carries.
+    """
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    t = ti * ntx + tj
+    w0 = sc_ref[t]
+    nw = sc_ref[ntiles + t]
+    n_big = sc_ref[2 * ntiles]
+
+    oy = (ti * TILE_H).astype(jnp.float32)
+    ox = (tj * TILE_W).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = oy + iy.astype(jnp.float32) + 0.5
+    px = ox + ix.astype(jnp.float32) + 0.5
+    zlo = zlo_ref[...] if zlo_ref is not None else None
+    zhi = zhi_ref[...] if zhi_ref is not None else None
+
+    def cp(i, slot: int):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds((w0 + i) * dchunk, dchunk), :],
+            buf.at[slot], sem.at[slot],
+        )
+
+    # big triangles (tested by every tile; B is tiny) seed the outputs
+    best = (
+        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+    )
+    nb = (n_big + (CHUNK - 1)) // CHUNK
+    def big_step(b, c):
+        zm, ids = _test_chunk(
+            big_ref[pl.ds(b * CHUNK, CHUNK), :], px, py, zlo, zhi
+        )
+        return _merge_chunk(c, zm, ids)
+    best = jax.lax.fori_loop(0, nb, big_step, best)
+    depth_ref[...] = best[0]
+    tid_ref[...] = best[1]
+
+    @pl.when(nw > 0)
+    def _():
+        cp(0, 0).start()
+
+    def window(i, _):
+        even = jax.lax.rem(i, 2) == 0
+
+        @pl.when((i + 1 < nw) & even)
+        def _():
+            cp(i + 1, 1).start()
+
+        @pl.when((i + 1 < nw) & ~even)
+        def _():
+            cp(i + 1, 0).start()
+
+        def run(slot: int):
+            cp(i, slot).wait()
+            carry = (depth_ref[...], tid_ref[...])
+            for b in range(dchunk // CHUNK):
+                zm, ids = _test_chunk(
+                    buf[slot, pl.ds(b * CHUNK, CHUNK), :], px, py, zlo, zhi
+                )
+                carry = _merge_chunk(carry, zm, ids)
+            depth_ref[...] = carry[0]
+            tid_ref[...] = carry[1]
+
+        @pl.when(even)
+        def _():
+            run(0)
+
+        @pl.when(~even)
+        def _():
+            run(1)
+
+        return 0
+
+    jax.lax.fori_loop(0, nw, window, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "dchunk")
+)
+def rasterize_dma(setup, screen_aabb, order, starts, counts, big_ids,
+                  n_big, *, tiles_y: int, tiles_x: int, z_bounds=None,
+                  dchunk: int = 128):
+    """Raster from bin_sorted's ragged bins with the manual-DMA kernel.
+
+    Overflow-free (no per-tile cap). Returns (depth, tid, overflow=0) for
+    interface parity with rasterize_stream.
+    """
+    ab = jnp.stack(screen_aabb, axis=1)
+    table = jnp.concatenate(
+        [setup.edge.reshape(-1, 9), setup.zplane, ab], axis=1
+    )  # (R, 16)
+
+    def packed_rows(idx):
+        live = idx >= 0
+        r = table[jnp.maximum(idx, 0)]
+        idf = jnp.where(live, idx, -1).astype(jnp.float32)[:, None]
+        return jnp.concatenate([r, idf], axis=1)  # (N, 17)
+
+    rows = packed_rows(order)
+    n = rows.shape[0]
+    npad = common.round_up(n, dchunk) + dchunk
+    dead = jnp.zeros((npad - n, 17), jnp.float32).at[:, 16].set(-1.0)
+    rows = jnp.concatenate([rows, dead])
+
+    bpad = max(common.round_up(big_ids.shape[0], CHUNK), CHUNK)
+    big_rows = packed_rows(big_ids)
+    if bpad != big_rows.shape[0]:
+        bdead = jnp.zeros(
+            (bpad - big_rows.shape[0], 17), jnp.float32
+        ).at[:, 16].set(-1.0)
+        big_rows = jnp.concatenate([big_rows, bdead])
+
+    ntiles = tiles_y * tiles_x
+    starts = starts.astype(jnp.int32)
+    ends = starts + counts.astype(jnp.int32)
+    w0 = starts // dchunk
+    nw = jnp.where(
+        counts > 0, (ends + dchunk - 1) // dchunk - w0, 0
+    ).astype(jnp.int32)
+    sc = jnp.concatenate([w0, nw, n_big.astype(jnp.int32)[None]])
+
+    def pix_map(i, j, sc):
+        return (i, j)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((bpad, 17), lambda i, j, sc: (0, 0)),
+    ]
+    inputs = [sc, rows, big_rows]
+    kernel = functools.partial(
+        _raster_kernel_dma, ntx=tiles_x, ntiles=ntiles, dchunk=dchunk
+    )
+    if z_bounds is not None:
+        H, W = tiles_y * TILE_H, tiles_x * TILE_W
+        zlo, zhi = z_bounds
+        if zlo.shape != (H, W):
+            ph, pw = H - zlo.shape[0], W - zlo.shape[1]
+            zlo = jnp.pad(zlo, ((0, ph), (0, pw)))
+            zhi = jnp.pad(zhi, ((0, ph), (0, pw)), constant_values=2.0)
+        in_specs += [
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+        ]
+        inputs += [zlo, zhi]
+
+        def kernel(sc_ref, rows_hbm, big_ref, zlo_ref, zhi_ref,
+                   depth_ref, tid_ref, buf, sem):
+            return _raster_kernel_dma(
+                sc_ref, rows_hbm, big_ref, depth_ref, tid_ref, buf, sem,
+                ntx=tiles_x, ntiles=ntiles, dchunk=dchunk,
+                zlo_ref=zlo_ref, zhi_ref=zhi_ref,
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y, tiles_x),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, dchunk, 17), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, tid = common.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32
+            ),
+        ),
+    )(*inputs)
+    return depth, tid, jnp.asarray(0, jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x"))
 def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
                     z_bounds=None, screen_aabb=None):

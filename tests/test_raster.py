@@ -191,3 +191,17 @@ def test_stream_matches_dense():
     )
     np.testing.assert_allclose(np.asarray(dc), np.asarray(db), atol=1e-6)
     assert (np.asarray(tc) == np.asarray(tb)).all()
+
+    # manual-DMA kernel: same ragged bins, per-tile async-copy windows
+    d4, t4, ov4 = tile_raster.rasterize_dma(
+        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx, dchunk=64
+    )
+    assert int(ov4) == 0
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d4), atol=1e-6)
+    assert (np.asarray(t_) == np.asarray(t4)).all()
+    d5, t5, _ = tile_raster.rasterize_dma(
+        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx,
+        z_bounds=(zlo, zhi), dchunk=64,
+    )
+    np.testing.assert_allclose(np.asarray(d5), np.asarray(db), atol=1e-6)
+    assert (np.asarray(t5) == np.asarray(tb)).all()
