@@ -219,19 +219,26 @@ def bench_forward(width, height, num_lights, num_objects, frames,
     # lower=True stops after tracing+lowering, so t_trace isolates the
     # host-side graph build; the compile cache makes the remainder a
     # deserialize+upload on warm runs (log the cache size for context).
-    from sailor_tpu.assets import shader_cache
+    from sailor_tpu.assets import aot_cache, shader_cache
 
     cs = shader_cache.stats()
     print(f"# shader cache: {cs['entries']} entries, "
           f"{cs['bytes']/1e9:.2f} GB", file=sys.stderr)
-    t0 = time.time()
-    try:
-        if fg._jitted is None:
-            fg._jitted = jax.jit(fg._run)
-        fg._jitted.lower(scene, state)
-        print(f"# trace+lower: {time.time()-t0:.1f}s", file=sys.stderr)
-    except Exception as e:
-        print(f"# trace+lower probe failed: {e}", file=sys.stderr)
+    acs = aot_cache.stats()
+    print(f"# aot cache: {acs['entries']} entries, "
+          f"{acs['bytes']/1e6:.0f} MB", file=sys.stderr)
+    if not aot_cache.enabled():
+        # phase probe only without the AOT cache — with it, process()
+        # itself logs either "miss: trace+lower Xs, compile Ys" or
+        # "hit: load Zs" and a separate .lower() would double-pay.
+        t0 = time.time()
+        try:
+            if fg._jitted is None:
+                fg._jitted = jax.jit(fg._run)
+            fg._jitted.lower(scene, state)
+            print(f"# trace+lower: {time.time()-t0:.1f}s", file=sys.stderr)
+        except Exception as e:
+            print(f"# trace+lower probe failed: {e}", file=sys.stderr)
     t0 = time.time()
     targets, state = fg.process(scene, state)
     float(sumf(targets["Final"]))  # block_until_ready does NOT wait on axon

@@ -1,0 +1,191 @@
+"""AOT executable cache — warm starts skip Python tracing AND XLA compile.
+
+The persistent XLA compilation cache (shader_cache.py) removes the
+*compile* cost of the frame-graph mega-jit, but a fresh process still
+pays 10-20 s of Python tracing + StableHLO lowering before the cache can
+even be consulted (measured: trace+lower of the default graph is ~14 s
+at any resolution).  The reference engine's analog is loading precompiled
+SPIR-V straight from disk without re-running glslang
+(Runtime/AssetRegistry/Shader/ShaderCache.h:15-91).
+
+This module snapshots the *compiled executable* itself via
+``jax.experimental.serialize_executable`` (PjRt
+``SerializeExecutable``/``DeserializeAndLoad``), keyed on everything the
+trace could depend on:
+
+- the package source digest (any edit to sailor_tpu/*.py invalidates —
+  the reference's timestamp-expiry semantics),
+- the caller's logical key (renderer YAML text, config, viewport),
+- input avals (shapes/dtypes/weak_type of the example pytree),
+- jax version + backend platform + device kind + device count.
+
+Entries live under ``Cache/aot/`` next to the XLA cache.  Failures at
+any stage (unsupported backend, topology change, pickle drift) fall back
+to a normal ``jit``/``lower``/``compile`` and rewrite the entry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+from sailor_tpu.assets import shader_cache
+from sailor_tpu.utils.log import SAILOR_LOG
+
+
+def log(msg: str) -> None:
+    SAILOR_LOG(msg)
+    print(f"# {msg}", file=sys.stderr)
+
+_src_digest_cache: str | None = None
+# Executables this process compiled or loaded, by cache key. Besides the
+# obvious speedup, this avoids re-DESERIALIZING a payload serialized in
+# the same process — XLA:CPU's AOT loader can drop fusion functions on
+# that path ("Buffer Definition Event: Function ... not found"); fresh
+# processes load the same entries fine.
+_memory: dict = {}
+
+
+def enabled() -> bool:
+    return os.environ.get("SAILOR_AOT_CACHE", "1") != "0"
+
+
+def cache_dir() -> Path:
+    return shader_cache.default_cache_dir().parent / "aot"
+
+
+def _source_digest() -> str:
+    """Content hash of every .py file in the sailor_tpu package (~1 MB,
+    a few ms) — any source change produces a different key, so stale
+    executables simply stop being hit (ShaderCache expiry analog)."""
+    global _src_digest_cache
+    if _src_digest_cache is not None:
+        return _src_digest_cache
+    root = Path(__file__).resolve().parents[1]
+    h = hashlib.sha256()
+    for p in sorted(root.rglob("*.py")):
+        h.update(p.read_bytes())
+    _src_digest_cache = h.hexdigest()
+    return _src_digest_cache
+
+
+def _aval_sig(tree) -> str:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    parts = [str(treedef)]
+    for x in leaves:
+        parts.append(
+            f"{getattr(x, 'dtype', type(x).__name__)}:"
+            f"{getattr(x, 'shape', ())}:"
+            f"{getattr(x, 'weak_type', False)}"
+        )
+    return "|".join(parts)
+
+
+def _backend_sig() -> str:
+    devs = jax.devices()
+    return f"{jax.__version__};{devs[0].platform};{devs[0].device_kind};{len(devs)}"
+
+
+def cache_key(logical_key: str, example_args: tuple) -> str:
+    h = hashlib.sha256()
+    for part in (
+        _source_digest(), logical_key, _aval_sig(example_args), _backend_sig()
+    ):
+        h.update(part.encode())
+        h.update(b"\0")
+    return h.hexdigest()[:32]
+
+
+def load_or_compile(fn, example_args: tuple, *, logical_key: str,
+                    static_argnames=(), label: str = "jit"):
+    """Return a compiled executable for ``fn(*example_args)``.
+
+    Warm path: unpickle + ``deserialize_and_load`` (no tracing, no
+    compile).  Cold path: ``jit(fn).lower(*args).compile()`` then
+    serialize to disk.  Any failure degrades to the cold path; if even
+    serialization fails the compiled object is returned uncached.
+    """
+    jitted = jax.jit(fn, static_argnames=static_argnames)
+    if not enabled():
+        return jitted
+
+    key = cache_key(logical_key, example_args)
+    if key in _memory:
+        return _memory[key]
+    path = cache_dir() / f"{key}.pkl"
+    if path.exists():
+        t0 = time.time()
+        try:
+            from jax.experimental import serialize_executable as se
+
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree, n_dev = pickle.load(f)
+            # deserialize_and_load defaults to ALL addressable devices;
+            # a 1-device program loaded onto an 8-device client then
+            # demands 8-sharded args — pin the original device count.
+            compiled = se.deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=jax.devices()[:n_dev],
+            )
+            log(f"aot-cache hit {label}: load {time.time() - t0:.1f}s "
+                f"({path.stat().st_size / 1e6:.0f} MB)")
+            _memory[key] = compiled
+            return compiled
+        except Exception as e:  # topology/pickle drift -> recompile
+            log(f"aot-cache load failed ({type(e).__name__}: {e}); "
+                f"recompiling {label}")
+
+    t0 = time.time()
+    lowered = jitted.lower(*example_args)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    t_compile = time.time() - t0
+    log(f"aot-cache miss {label}: trace+lower {t_lower:.1f}s, "
+        f"compile {t_compile:.1f}s")
+    try:
+        from jax.experimental import serialize_executable as se
+
+        t0 = time.time()
+        payload, in_tree, out_tree = se.serialize(compiled)
+        try:
+            n_dev = len(compiled._executable.xla_executable.local_devices())
+        except Exception:
+            n_dev = 1
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree, n_dev), f)
+        os.replace(tmp, path)
+        log(f"aot-cache store {label}: {time.time() - t0:.1f}s, "
+            f"{path.stat().st_size / 1e6:.0f} MB")
+    except Exception as e:
+        log(f"aot-cache store failed ({type(e).__name__}: {e}); "
+            f"running uncached")
+    _memory[key] = compiled
+    return compiled
+
+
+def stats() -> dict:
+    d = cache_dir()
+    if not d.is_dir():
+        return {"dir": str(d), "entries": 0, "bytes": 0}
+    files = [f for f in d.glob("*.pkl")]
+    return {
+        "dir": str(d),
+        "entries": len(files),
+        "bytes": sum(f.stat().st_size for f in files),
+    }
+
+
+def clear() -> None:
+    d = cache_dir()
+    if d.is_dir():
+        for f in d.glob("*.pkl"):
+            f.unlink()

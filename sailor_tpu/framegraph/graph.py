@@ -218,11 +218,42 @@ class FrameGraph:
         for n in self.nodes:
             n.prepare(ctx)
 
+    def _logical_key(self) -> str:
+        """Everything static the traced graph depends on besides source code
+        and input avals: node list + params, target specs, values, config,
+        viewport. Feeds the AOT executable-cache key."""
+        return repr((
+            [(type(n).__name__, sorted(n.params.items())) for n in self.nodes],
+            [dataclasses.astuple(t) for t in self.asset.targets],
+            sorted(self.asset.values.items()),
+            sorted(self.config.items(), key=str),
+            self.width, self.height,
+        ))
+
     def process(self, scene, state: dict):
-        """Jitted execution of the whole graph. Returns (targets, state)."""
+        """Jitted execution of the whole graph. Returns (targets, state).
+
+        First call resolves through the AOT executable cache
+        (assets/aot_cache.py): a warm start deserializes the compiled
+        program instead of re-tracing + re-compiling the mega-jit."""
         if self._jitted is None:
+            from sailor_tpu.assets import aot_cache
+
+            if aot_cache.enabled():
+                self._jitted = aot_cache.load_or_compile(
+                    self._run, (scene, state),
+                    logical_key=self._logical_key(), label="framegraph",
+                )
+            else:
+                self._jitted = jax.jit(self._run)
+        try:
+            return self._jitted(scene, state)
+        except TypeError:
+            # AOT executables are pinned to the first call's avals; a
+            # shape/dtype drift (tests reusing one graph across scenes)
+            # falls back to a plain re-traceable jit.
             self._jitted = jax.jit(self._run)
-        return self._jitted(scene, state)
+            return self._jitted(scene, state)
 
     # -- multi-chip execution ------------------------------------------------
 
