@@ -299,7 +299,7 @@ def bench_trace(size, spp, bounces):
     view = m3.look_at(cam, jnp.asarray([0.0, 0.6, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
     proj = m3.perspective(jnp.pi / 4, 1.0, 0.1, 100.0)
     t0 = time.time()
-    img, rays = pt.render(
+    img, rays = pt.render_cached(
         scene, cam, view, proj, width=size, height=size, spp=spp,
         max_bounces=bounces,
     )
@@ -319,7 +319,7 @@ def bench_trace(size, spp, bounces):
             cam_r, jnp.asarray([0.0, 0.6, 0.0]), jnp.asarray([0.0, 1.0, 0.0])
         )
         t0 = time.time()
-        img, rays = pt.render(
+        img, rays = pt.render_cached(
             scene, cam_r, view_r, proj, width=size, height=size, spp=spp,
             max_bounces=bounces, key=jax.random.PRNGKey(7 + rep),
         )

@@ -88,7 +88,7 @@ def main():
     proj = m3.perspective(jnp.pi / 4, w / h, 0.1, 100.0)
 
     t0 = time.time()
-    img, rays = pt.render(
+    img, rays = pt.render_cached(
         scene, cam, view, proj, width=w, height=h, spp=args.spp,
         max_bounces=args.bounces, key=jax.random.PRNGKey(1),
     )
@@ -97,7 +97,7 @@ def main():
     print(f"compile+render: {dt:.2f}s")
 
     t0 = time.time()
-    img, rays = pt.render(
+    img, rays = pt.render_cached(
         scene, cam, view, proj, width=w, height=h, spp=args.spp,
         max_bounces=args.bounces, key=jax.random.PRNGKey(2),
     )

@@ -534,6 +534,38 @@ def render(
     return img, rays
 
 
+def render_cached(scene, camera_pos, view, proj, *, width: int, height: int,
+                  spp: int = 16, max_bounces: int = 4, key=None):
+    """``render`` resolved through the AOT executable cache: a warm
+    process skips the tracer's Python trace + XLA compile entirely
+    (assets/aot_cache.py; ShaderCache precompiled-binary analog)."""
+    from sailor_tpu.assets import aot_cache
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if not aot_cache.enabled():
+        return render(scene, camera_pos, view, proj, width=width,
+                      height=height, spp=spp, max_bounces=max_bounces,
+                      key=key)
+
+    def fn(scene, camera_pos, view, proj, key):
+        return render(scene, camera_pos, view, proj, width=width,
+                      height=height, spp=spp, max_bounces=max_bounces,
+                      key=key)
+
+    compiled = aot_cache.load_or_compile(
+        fn, (scene, camera_pos, view, proj, key),
+        logical_key=f"tracer:{width}x{height}:spp{spp}:b{max_bounces}",
+        label="tracer",
+    )
+    try:
+        return compiled(scene, camera_pos, view, proj, key)
+    except TypeError:
+        return render(scene, camera_pos, view, proj, width=width,
+                      height=height, spp=spp, max_bounces=max_bounces,
+                      key=key)
+
+
 def scene_from_mesh(
     soup: dict,
     materials: dict | None = None,
