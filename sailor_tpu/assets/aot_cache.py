@@ -189,3 +189,19 @@ def clear() -> None:
     if d.is_dir():
         for f in d.glob("*.pkl"):
             f.unlink()
+
+
+def expire(max_age_days: float = 14.0) -> int:
+    """Drop entries older than ``max_age_days`` (ShaderCache::Expire
+    analog — stale entries also die naturally via the source digest,
+    this reclaims their disk)."""
+    d = cache_dir()
+    if not d.is_dir():
+        return 0
+    cutoff = time.time() - max_age_days * 86400
+    n = 0
+    for f in d.glob("*.pkl"):
+        if f.stat().st_mtime < cutoff:
+            f.unlink()
+            n += 1
+    return n

@@ -41,6 +41,9 @@ class Console:
         self.register("refresh", self._cmd_refresh)
         self.register("capture", self._cmd_capture)
         self.register("profile", self._cmd_profile)
+        self.register("cache.stats", self._cmd_cache_stats)
+        self.register("cache.expire", self._cmd_cache_expire)
+        self.register("cache.clear", self._cmd_cache_clear)
         # benchmark commands (reference: memory/vector/set/map/list/octree.benchmark)
         from sailor_tpu.utils import benchmarks
 
@@ -56,6 +59,32 @@ class Console:
         n = self.assets.scan_content_folder()
         reloaded = self.assets.check_hot_reload()
         return f"scanned {n} assets, hot-reloaded {len(reloaded)}"
+
+    # -- compiled-program caches (ShaderCache::Expire/ClearAll parity) ------
+
+    def _cmd_cache_stats(self, args) -> str:
+        from sailor_tpu.assets import aot_cache, shader_cache
+
+        s = shader_cache.stats()
+        a = aot_cache.stats()
+        return (f"xla: {s['entries']} entries {s['bytes']/1e6:.0f} MB "
+                f"({s['dir']}); aot: {a['entries']} entries "
+                f"{a['bytes']/1e6:.0f} MB ({a['dir']})")
+
+    def _cmd_cache_expire(self, args) -> str:
+        from sailor_tpu.assets import aot_cache, shader_cache
+
+        days = float(args[0]) if args else 14.0
+        nx = shader_cache.expire(days)
+        na = aot_cache.expire(days)
+        return f"expired {nx} xla + {na} aot entries older than {days:g}d"
+
+    def _cmd_cache_clear(self, args) -> str:
+        from sailor_tpu.assets import aot_cache, shader_cache
+
+        shader_cache.clear()
+        aot_cache.clear()
+        return "caches cleared"
 
     def _cmd_capture(self, args) -> str:
         """Arm a frame capture (F6 / RenderDocApi::TriggerCapture analog);

@@ -334,7 +334,19 @@ class FrameGraph:
                 shard_body, mesh=mesh, in_specs=(P(), P()),
                 out_specs=(P(), P()), check_vma=False,
             )
-            self._jitted_sharded[key] = jax.jit(fn)
+            from sailor_tpu.assets import aot_cache
+
+            if aot_cache.enabled():
+                self._jitted_sharded[key] = aot_cache.load_or_compile(
+                    fn, (scene, state),
+                    logical_key=self._logical_key() + repr(
+                        (key, tuple(mesh.shape.items()),
+                         [d.id for d in mesh.devices.flat])
+                    ),
+                    label=f"framegraph-sharded-{n}x",
+                )
+            else:
+                self._jitted_sharded[key] = jax.jit(fn)
         return self._jitted_sharded[key](scene, state)
 
     def process_debug(self, scene, state: dict):

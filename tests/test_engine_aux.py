@@ -38,6 +38,9 @@ def test_console_commands():
     assert "unknown command" in con.execute("frobnicate")
     out = con.execute("pool.benchmark")
     assert "PASSED" in out
+    # compiled-program cache observability (ShaderCache parity)
+    assert "aot:" in con.execute("cache.stats")
+    assert "expired" in con.execute("cache.expire 365")
 
 
 def test_benchmark_suite_all_pass():
