@@ -35,6 +35,10 @@ def main():
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+        # single-graph process: the AOT executable cache is safe
+        # on CPU here (only one deserialized program per process)
+        import os as _os
+        _os.environ.setdefault("SAILOR_AOT_CACHE", "1")
         from sailor_tpu import config as cfg
 
         cfg.interpret_pallas()

@@ -38,6 +38,10 @@ def main():
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+        # single-graph process: the AOT executable cache is safe
+        # on CPU here (only one deserialized program per process)
+        import os as _os
+        _os.environ.setdefault("SAILOR_AOT_CACHE", "1")
     import imageio.v2 as imageio
     import jax.numpy as jnp
 

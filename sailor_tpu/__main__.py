@@ -30,6 +30,10 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # single-graph process: the AOT executable cache is safe
+        # on CPU here (only one deserialized program per process)
+        import os as _os
+        _os.environ.setdefault("SAILOR_AOT_CACHE", "1")
 
     from sailor_tpu.assets.registry import AssetRegistry
     from sailor_tpu.engine import World

@@ -53,7 +53,21 @@ _memory: dict = {}
 
 
 def enabled() -> bool:
-    return os.environ.get("SAILOR_AOT_CACHE", "1") != "0"
+    """Default: on for TPU backends, opt-in (SAILOR_AOT_CACHE=1) elsewhere.
+
+    XLA:CPU links deserialized executables into the process with
+    generic fusion symbol names; loading a SECOND executable collides
+    ("Function add_broadcast_fusion not found" at dispatch), so CPU
+    processes that build several graphs (the test suite, bench.py) must
+    not load-cache by default.  One-graph CPU processes (the example
+    CLIs) opt in explicitly."""
+    env = os.environ.get("SAILOR_AOT_CACHE")
+    if env is not None:
+        return env != "0"
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def cache_dir() -> Path:
