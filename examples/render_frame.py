@@ -39,6 +39,8 @@ def main():
         # on CPU here (only one deserialized program per process)
         import os as _os
         _os.environ.setdefault("SAILOR_AOT_CACHE", "1")
+        from sailor_tpu.assets import shader_cache as _sc
+        _sc.rescope_for_cpu()  # CPU cache entries are host-specific
         from sailor_tpu import config as cfg
 
         cfg.interpret_pallas()

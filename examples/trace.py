@@ -42,6 +42,8 @@ def main():
         # on CPU here (only one deserialized program per process)
         import os as _os
         _os.environ.setdefault("SAILOR_AOT_CACHE", "1")
+        from sailor_tpu.assets import shader_cache as _sc
+        _sc.rescope_for_cpu()  # CPU cache entries are host-specific
     import imageio.v2 as imageio
     import jax.numpy as jnp
 

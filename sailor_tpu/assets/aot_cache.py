@@ -103,7 +103,12 @@ def _aval_sig(tree) -> str:
 
 def _backend_sig() -> str:
     devs = jax.devices()
-    return f"{jax.__version__};{devs[0].platform};{devs[0].device_kind};{len(devs)}"
+    sig = f"{jax.__version__};{devs[0].platform};{devs[0].device_kind};{len(devs)}"
+    if devs[0].platform == "cpu":
+        # CPU executables embed host-specific machine code — never share
+        # them across hosts (see shader_cache.host_cpu_fingerprint)
+        sig += ";" + shader_cache.host_cpu_fingerprint()
+    return sig
 
 
 def cache_key(logical_key: str, example_args: tuple) -> str:

@@ -40,6 +40,43 @@ def default_cache_dir() -> Path:
     return Path.home() / ".cache" / "sailor_tpu" / "xla"
 
 
+def host_cpu_fingerprint() -> str:
+    """Short digest of this host's CPU feature flags.
+
+    XLA:CPU persistent-cache entries embed AOT machine code for the
+    COMPILING host's feature set; loading them on a host without those
+    features drops functions or crashes outright (observed: a cache
+    populated on an AMX machine segfaulted `backend_compile_and_load`
+    and produced "Function <fusion> not found" dispatch errors after a
+    container migration).  TPU entries are host-independent, so only
+    CPU-backend processes need a host-scoped cache directory."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        line.encode()
+                    ).hexdigest()[:10]
+    except OSError:
+        pass
+    return hashlib.sha256(platform.machine().encode()).hexdigest()[:10]
+
+
+def rescope_for_cpu() -> Path:
+    """Re-point the persistent cache at a host-scoped subdir.
+
+    Call right after forcing the CPU backend (jax_platforms="cpu") and
+    before the first compile — CPU AOT cache entries must not be shared
+    across machines (see host_cpu_fingerprint)."""
+    base = default_cache_dir()
+    if base.name.startswith("cpu-"):
+        return base
+    return enable(base.parent / f"cpu-{host_cpu_fingerprint()}")
+
+
 def enable(cache_dir: str | os.PathLike | None = None) -> Path:
     """Point JAX's persistent compilation cache at ``cache_dir``.
 

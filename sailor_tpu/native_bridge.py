@@ -26,18 +26,42 @@ _lib = None
 _lib_lock = threading.Lock()
 
 
+_SIG_PATH = _LIB_PATH + ".hostsig"
+
+
+def _host_sig() -> str:
+    from sailor_tpu.assets.shader_cache import host_cpu_fingerprint
+
+    return host_cpu_fingerprint()
+
+
+def _stale() -> bool:
+    """The library is built with -march=native: a binary carried across a
+    container migration onto a different CPU can SIGILL. Rebuild whenever
+    the recorded host fingerprint differs."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    try:
+        with open(_SIG_PATH) as f:
+            return f.read().strip() != _host_sig()
+    except OSError:
+        return True
+
+
 def load(build: bool = True):
     """Load (and lazily build) the native library; None if unavailable."""
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and build:
+        if _stale() and build:
             try:
                 subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    ["make", "-C", _NATIVE_DIR, "-s", "clean", "all"],
                     check=True, capture_output=True, timeout=120,
                 )
+                with open(_SIG_PATH, "w") as f:
+                    f.write(_host_sig())
             except Exception:
                 return None
         if not os.path.exists(_LIB_PATH):

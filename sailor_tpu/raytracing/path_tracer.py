@@ -481,7 +481,8 @@ def trace_rays(scene, origin, direction, *, spp: int = 4,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "spp", "max_bounces")
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_bounces", "sample_batch"),
 )
 def render(
     scene: TraceScene,
@@ -494,10 +495,20 @@ def render(
     spp: int = 16,
     max_bounces: int = 4,
     key=None,
+    sample_batch: int = 1,
 ):
-    """Render (H, W, 3) linear HDR. Also returns rays-traced count."""
+    """Render (H, W, 3) linear HDR. Also returns rays-traced count.
+
+    ``sample_batch`` traces that many spp per megakernel dispatch
+    (rays from the batch are concatenated sample-major): spp/sb scan
+    steps instead of spp, amortizing per-dispatch fixed cost; block
+    coherence within each sample is preserved.  Default 1 keeps the
+    historical sample/RNG stream (and the goldens)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    if spp % sample_batch != 0:
+        raise ValueError(f"spp {spp} not divisible by sample_batch "
+                         f"{sample_batch}")
     r = width * height
 
     # Per-pixel blue-noise camera jitter with a per-sample R2 rotation
@@ -510,17 +521,27 @@ def render(
     bn_u = jnp.asarray(bn_u)
     bn_v = jnp.asarray(bn_v)
 
+    sb = sample_batch
+
     def sample_pass(acc_and_rays, per_sample):
-        sample_key, sample_idx = per_sample
+        sample_key, sample_idx = per_sample   # (sb, 2) keys, (sb,) idx
         acc, ray_count = acc_and_rays
-        keys = jax.random.split(sample_key, 5 * max_bounces)
-        ju, jv = bluenoise.rotate((bn_u, bn_v), sample_idx)
-        origin, direction = camera_rays(
-            camera_pos, view, proj, width, height, ju, jv
-        )
+        os_, ds_ = [], []
+        for j in range(sb):
+            ju, jv = bluenoise.rotate((bn_u, bn_v), sample_idx[j])
+            o, d = camera_rays(
+                camera_pos, view, proj, width, height, ju, jv
+            )
+            os_.append(o)
+            ds_.append(d)
+        origin = os_[0] if sb == 1 else jnp.concatenate(os_)
+        direction = ds_[0] if sb == 1 else jnp.concatenate(ds_)
+        keys = jax.random.split(sample_key[0], 5 * max_bounces)
         radiance, ray_count = _trace_one_sample(
             scene, origin, direction, keys, max_bounces, ray_count
         )
+        if sb > 1:
+            radiance = radiance.reshape(sb, r, 3).sum(axis=0)
         return (acc + radiance, ray_count), None
 
     acc0 = jnp.zeros((r, 3))
@@ -528,42 +549,45 @@ def render(
     # shadow rays is ~4e9 rays).
     (acc, rays), _ = jax.lax.scan(
         sample_pass, (acc0, jnp.asarray(0.0, jnp.float32)),
-        (jax.random.split(key, spp), jnp.arange(spp, dtype=jnp.float32)),
+        (jax.random.split(key, spp).reshape(spp // sb, sb, -1),
+         jnp.arange(spp, dtype=jnp.float32).reshape(spp // sb, sb)),
     )
     img = (acc / spp).reshape(height, width, 3)
     return img, rays
 
 
 def render_cached(scene, camera_pos, view, proj, *, width: int, height: int,
-                  spp: int = 16, max_bounces: int = 4, key=None):
+                  spp: int = 16, max_bounces: int = 4, key=None,
+                  sample_batch: int | None = None):
     """``render`` resolved through the AOT executable cache: a warm
     process skips the tracer's Python trace + XLA compile entirely
     (assets/aot_cache.py; ShaderCache precompiled-binary analog)."""
+    import os
+
     from sailor_tpu.assets import aot_cache
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    if sample_batch is None:
+        sample_batch = int(os.environ.get("SAILOR_TRACE_SAMPLE_BATCH", "1"))
+    kw = dict(width=width, height=height, spp=spp, max_bounces=max_bounces,
+              sample_batch=sample_batch)
     if not aot_cache.enabled():
-        return render(scene, camera_pos, view, proj, width=width,
-                      height=height, spp=spp, max_bounces=max_bounces,
-                      key=key)
+        return render(scene, camera_pos, view, proj, key=key, **kw)
 
     def fn(scene, camera_pos, view, proj, key):
-        return render(scene, camera_pos, view, proj, width=width,
-                      height=height, spp=spp, max_bounces=max_bounces,
-                      key=key)
+        return render(scene, camera_pos, view, proj, key=key, **kw)
 
     compiled = aot_cache.load_or_compile(
         fn, (scene, camera_pos, view, proj, key),
-        logical_key=f"tracer:{width}x{height}:spp{spp}:b{max_bounces}",
+        logical_key=f"tracer:{width}x{height}:spp{spp}:b{max_bounces}"
+                    f":sb{sample_batch}",
         label="tracer",
     )
     try:
         return compiled(scene, camera_pos, view, proj, key)
     except TypeError:
-        return render(scene, camera_pos, view, proj, width=width,
-                      height=height, spp=spp, max_bounces=max_bounces,
-                      key=key)
+        return render(scene, camera_pos, view, proj, key=key, **kw)
 
 
 def scene_from_mesh(

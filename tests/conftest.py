@@ -21,3 +21,15 @@ import jax  # noqa: E402
 # var alone doesn't override it, so force CPU before backend initialization.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Host-scope the persistent XLA cache: CPU cache entries embed AOT machine
+# code for the COMPILING host (a container migration changed the CPU and
+# the foreign entries dropped fusion functions / segfaulted the compiler —
+# shader_cache.host_cpu_fingerprint). Stability also requires bounding the
+# number of XLA:CPU compiles per process: a single long-lived process
+# segfaults in backend_compile_and_load after a few hundred compiled
+# executables on this image, hence pytest.ini splits the suite across
+# xdist workers.
+from sailor_tpu.assets import shader_cache  # noqa: E402
+
+shader_cache.rescope_for_cpu()

@@ -395,3 +395,30 @@ def test_env_map_sky_matches_bake():
     got_h = np.asarray(pt.sky_radiance(scene, m3.normalize(side),
                                        include_sun=False))[0]
     assert np.abs(got_h - got).max() > 1e-3
+
+
+def test_sample_batch_consistent():
+    """sample_batch=k traces k spp per dispatch; sb=1 is bit-identical to
+    the historical stream and sb>1 is a statistically consistent MC
+    estimate of the same image."""
+    meshes = [
+        (primitives.plane(20.0), np.eye(4)),
+        (primitives.uv_sphere(0.9, 12, 24), np.asarray(
+            [[1, 0, 0, 0], [0, 1, 0, 1.0], [0, 0, 1, 0], [0, 0, 0, 1]],
+            np.float32)),
+    ]
+    scene = _scene(meshes)
+    cam = jnp.asarray([0.0, 3.0, 6.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 0.5, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 4, 1.0, 0.1, 100.0)
+    kw = dict(width=32, height=32, spp=8, max_bounces=2)
+    img1, r1 = pt.render(scene, cam, view, proj, **kw)
+    img1b, _ = pt.render(scene, cam, view, proj, sample_batch=1, **kw)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img1b))
+    img4, r4 = pt.render(scene, cam, view, proj, sample_batch=4, **kw)
+    a, b = np.asarray(img1), np.asarray(img4)
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.08
+    # same number of primary rays either way (counter counts per-ray work)
+    assert abs(float(r1) - float(r4)) / float(r1) < 0.02
