@@ -64,10 +64,15 @@ def _raster_merge(tri, passes, tiles_y, tiles_x, z_bounds=None,
 
 
 def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
-                 capacity, rounds=1):
+                 capacity, rounds=1, attrs=None):
     """Build ``raster(z_bounds) -> (depth, tid)`` for the configured
     backend, plus an overflow scalar (candidates beyond the per-tile
     budget of ``capacity * rounds``).
+
+    ``attrs``: packed per-raster-triangle attribute table — stream mode
+    then gathers ONE combined (raster cols + attrs) row table shared by
+    the raster kernel and the fused visibility resolve, and the returned
+    closure grows a ``.stream_bins`` dict for resolve_gbuffer_stream.
 
     ``raster_mode``:
       - "stream" (default): bin_sorted ragged segments consumed by the
@@ -109,14 +114,27 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
         overflow = (
             jnp.maximum(ends - (c0 + kmax) * chunk, 0).sum() + rb[5]
         )
+        prebuilt = None
+        if attrs is not None:
+            rows, big_rows, na = tile_raster.build_stream_rows(
+                tri, aabb, rb[0], rb[3], attrs=attrs, chunk=chunk
+            )
+            prebuilt = (rows, big_rows)
 
         def raster(z_bounds=None, _rb=rb):
             d, t, _ = tile_raster.rasterize_stream(
                 tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
                 z_bounds=z_bounds, chunk=chunk, kmax=kmax,
+                prebuilt=prebuilt,
             )
             return d, t
 
+        if attrs is not None:
+            raster.stream_bins = {
+                "rows": rows, "big_rows": big_rows, "starts": rb[1],
+                "counts": rb[2], "n_big": rb[4], "na": na,
+                "chunk": chunk, "kmax": kmax,
+            }
         return raster, overflow
 
     passes, overflow = rsetup.bin_all(
@@ -204,10 +222,25 @@ class DepthPrepassNode(BaseNode):
             )
             opaque_valid = culled_valid
 
+        # Fused visibility resolve (resolve_gbuffer_stream): share ONE
+        # combined row gather between the raster and RenderScene's
+        # attribute expansion. Only sound when every winner comes from
+        # THIS binning — masked depth-peel layers raster from a separate
+        # bin, so multi-queue scenes keep the classic gathered resolve.
+        attrs = None
+        if (ctx.config.get("fused_resolve", False) and queue_of is None
+                and ctx.config.get("raster_mode", "stream") == "stream"):
+            attrs = interpolate.pack_triangle_attributes(
+                geo, tri.src_id, scene.materials
+            )
         raster, overflow = _make_raster(
             tri, opaque_valid, aabb, tiles_y, tiles_x, ctx.config,
-            capacity=capacity, rounds=rounds,
+            capacity=capacity, rounds=rounds, attrs=attrs,
         )
+        if attrs is not None:
+            targets["StreamBins"] = dict(
+                raster.stream_bins, tiles_y=tiles_y, tiles_x=tiles_x,
+            )
         # surfaced so callers/tests can assert nothing was dropped
         targets["BinOverflow"] = overflow
         depth, tid = raster()
@@ -778,12 +811,25 @@ class RenderSceneNode(BaseNode):
     def process(self, ctx, targets):
         scene = ctx.scene
         inv_vp = jnp.linalg.inv(scene.frame.view_projection)
-        gbuffer, uv, mat_id = interpolate.resolve_gbuffer(
-            scene.geometry, targets["TriSetup"], targets["TriId"],
-            inv_vp, scene.frame.camera_position,
-            materials=scene.materials,
-            full_height=ctx.full_height, row0=ctx.row0,
-        )
+        if "StreamBins" in targets:
+            # fused path: expand winner rows from the tile bin windows in
+            # VMEM instead of the (H*W)-row latency-bound random gather.
+            # pop: the 100 MB row table must not outlive the resolve.
+            sb = targets.pop("StreamBins")
+            gbuffer, uv, mat_id = interpolate.resolve_gbuffer_stream(
+                sb, targets["TriId"], inv_vp, scene.frame.camera_position,
+                materials=scene.materials,
+                width=ctx.width, height=ctx.height,
+                tiles_y=int(sb["tiles_y"]), tiles_x=int(sb["tiles_x"]),
+                full_height=ctx.full_height, row0=ctx.row0,
+            )
+        else:
+            gbuffer, uv, mat_id = interpolate.resolve_gbuffer(
+                scene.geometry, targets["TriSetup"], targets["TriId"],
+                inv_vp, scene.frame.camera_position,
+                materials=scene.materials,
+                full_height=ctx.full_height, row0=ctx.row0,
+            )
         if "AO" in targets:
             gbuffer = gbuffer.replace(ao=targets["AO"])
 

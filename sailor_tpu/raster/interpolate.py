@@ -270,3 +270,107 @@ def resolve_gbuffer(
         emissive=emissive * cov[..., None],
         coverage=cov,
     ), uv, mat_id
+
+
+def resolve_gbuffer_stream(
+    stream_bins,
+    tri_id,
+    inv_view_projection,
+    camera_position,
+    materials=None,
+    *,
+    width: int,
+    height: int,
+    tiles_y: int,
+    tiles_x: int,
+    full_height: int | None = None,
+    row0=0,
+):
+    """resolve_gbuffer without the (H*W)-row random gather: the fused
+    Pallas kernel (tile_raster.resolve_stream) re-streams each tile's
+    bin_sorted candidate window and expands winner rows in VMEM, so the
+    per-pixel attribute fetch rides sequential DMA instead of 2M
+    latency-bound gather rows (~14 ms at 1080p, the resolve's dominant
+    cost). Texture fetches (uv-dependent) stay out here in XLA.
+
+    ``stream_bins``: dict from DepthPrepass with rows/big_rows/starts/
+    counts/n_big/na (build_stream_rows over pack_triangle_attributes).
+    Returns (GBuffer, uv, mat_id) — same contract as resolve_gbuffer.
+    """
+    from sailor_tpu.raster import tile_raster
+
+    H, W = tri_id.shape
+    valid = tri_id >= 0
+    fh = full_height if full_height is not None else H
+
+    planes = tile_raster.resolve_stream(
+        stream_bins["rows"], stream_bins["big_rows"], tri_id,
+        stream_bins["starts"], stream_bins["counts"], stream_bins["n_big"],
+        inv_view_projection, camera_position,
+        tiles_y=tiles_y, tiles_x=tiles_x, na=int(stream_bins["na"]),
+        width=W, full_height=fh, row0=row0,
+        chunk=int(stream_bins.get("chunk", 256)),
+        kmax=int(stream_bins.get("kmax", 16)),
+    )
+    planes = [p[:H, :W] for p in planes]
+    wpos = jnp.stack(planes[0:3], axis=-1)
+    normal = m3.normalize(jnp.stack(planes[3:6], axis=-1))
+    uv = jnp.stack(planes[6:8], axis=-1)
+    color = jnp.stack(planes[8:12], axis=-1)
+    mat_id = planes[12].astype(jnp.int32)
+
+    if materials is not None:
+        from sailor_tpu.assets.materials import _sample_texture_stack
+
+        alb = jnp.stack(planes[13:16], axis=-1)
+        metallic = planes[16]
+        roughness = planes[17]
+        emissive = jnp.stack(planes[18:21], axis=-1)
+        if materials.textures.shape[0] > 0:
+            a_layer = planes[21].astype(jnp.int32)
+            tex = _sample_texture_stack(materials.textures, a_layer, uv)
+            alb = alb * jnp.where((a_layer >= 0)[..., None], tex[..., :3], 1.0)
+            alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
+        else:
+            alpha = jnp.ones_like(metallic)
+        albedo = jnp.concatenate([alb, alpha[..., None]], axis=-1) * color
+        if materials.textures.shape[0] > 0:
+            n_layer = planes[22].astype(jnp.int32)
+            ntex = _sample_texture_stack(materials.textures, n_layer, uv)
+            n_ts = ntex[..., :3] * 2.0 - 1.0
+            has_map = n_layer >= 0
+            denom = planes[26]
+            # the kernel emits t_raw WITHOUT the classic path's 1/denom
+            # factor — normalization absorbs the magnitude but the SIGN
+            # must be restored or the tangent flips on mirrored UVs
+            t_raw = jnp.stack(planes[23:26], axis=-1) \
+                * jnp.sign(denom)[..., None]
+            t_ortho = m3.normalize(
+                t_raw - normal * m3.dot(normal, t_raw, keepdims=True)
+            )
+            b = jnp.cross(normal, t_ortho) * jnp.sign(denom)[..., None]
+            n_mapped = m3.normalize(
+                t_ortho * n_ts[..., 0:1] + b * n_ts[..., 1:2]
+                + normal * n_ts[..., 2:3]
+            )
+            normal = jnp.where(
+                (has_map & (jnp.abs(denom) > 1e-12))[..., None],
+                n_mapped, normal,
+            )
+    else:
+        albedo = color
+        metallic = jnp.zeros((H, W))
+        roughness = jnp.full((H, W), 0.5)
+        emissive = jnp.zeros((H, W, 3))
+
+    cov = valid.astype(jnp.float32)
+    return GBuffer(
+        world_position=wpos * cov[..., None],
+        normal=jnp.where(valid[..., None], normal, jnp.asarray([0.0, 0.0, 1.0])),
+        albedo=albedo * cov[..., None],
+        metallic=metallic * cov,
+        roughness=jnp.where(valid, roughness, 1.0),
+        ao=jnp.ones((H, W)),
+        emissive=emissive * cov[..., None],
+        coverage=cov,
+    ), uv, mat_id

@@ -264,37 +264,26 @@ def _raster_kernel_stream(sc_ref, rows_ref, big_ref, depth_ref, tid_ref, *,
 )
 def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
                      n_big, *, tiles_y: int, tiles_x: int, z_bounds=None,
-                     chunk: int = 256, kmax: int = 16):
+                     chunk: int = 256, kmax: int = 16, prebuilt=None):
     """Raster from bin_sorted's ragged bins with the streaming kernel.
 
     ``kmax`` bounds the per-tile segment to kmax*chunk candidates (the
     analog of bin_all's capacity*rounds); overflow is returned so callers
     can surface dropped work. Returns (depth, tid, overflow).
+
+    ``prebuilt``: optional (rows, big_rows) from build_stream_rows — when
+    the fused resolve runs too, ONE shared gather feeds both kernels (the
+    raster reads cols 0:17 of the wider rows; extra lanes in the window
+    DMA are noise next to the gather it saves).
     """
-    ab = jnp.stack(screen_aabb, axis=1)
-    table = jnp.concatenate(
-        [setup.edge.reshape(-1, 9), setup.zplane, ab], axis=1
-    )  # (R, 16)
-
-    def packed_rows(idx):
-        live = idx >= 0
-        r = table[jnp.maximum(idx, 0)]
-        idf = jnp.where(live, idx, -1).astype(jnp.float32)[:, None]
-        return jnp.concatenate([r, idf], axis=1)  # (N, 17)
-
-    rows = packed_rows(order)
-    n = rows.shape[0]
-    npad = common.round_up(n, chunk) + chunk  # windows never run off the end
-    dead = jnp.zeros((npad - n, 17), jnp.float32).at[:, 16].set(-1.0)
-    rows = jnp.concatenate([rows, dead])
-
-    bpad = max(common.round_up(big_ids.shape[0], CHUNK), CHUNK)
-    big_rows = packed_rows(big_ids)
-    if bpad != big_rows.shape[0]:
-        bdead = jnp.zeros(
-            (bpad - big_rows.shape[0], 17), jnp.float32
-        ).at[:, 16].set(-1.0)
-        big_rows = jnp.concatenate([big_rows, bdead])
+    if prebuilt is not None:
+        rows, big_rows = prebuilt
+    else:
+        rows, big_rows, _ = build_stream_rows(
+            setup, screen_aabb, order, big_ids, attrs=None, chunk=chunk
+        )
+    ncols = rows.shape[1]
+    bpad = big_rows.shape[0]
 
     ntiles = tiles_y * tiles_x
     starts = starts.astype(jnp.int32)
@@ -316,8 +305,8 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
         return (i, j)
 
     in_specs = [
-        pl.BlockSpec((chunk, 17), rows_map),
-        pl.BlockSpec((bpad, 17), lambda i, j, k, sc: (0, 0)),
+        pl.BlockSpec((chunk, ncols), rows_map),
+        pl.BlockSpec((bpad, ncols), lambda i, j, k, sc: (0, 0)),
     ]
     inputs = [sc, rows, big_rows]
     kernel = functools.partial(
@@ -644,3 +633,287 @@ def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
         ),
     )(*inputs)
     return depth, tid
+
+
+# --------------------------------------------------------------------------
+# Fused visibility resolve: per-pixel attribute expansion WITHOUT the
+# (H*W)-row random gather.
+#
+# resolve_gbuffer's packed[tid] gather is latency-bound at ~14 ms for a
+# 1080p frame (cost = row count, not width). But each pixel's winner row
+# lives in its own tile's bin_sorted segment — the SAME chunk-aligned
+# windows the streaming raster DMAs sequentially. This kernel re-streams
+# those windows and expands each pixel's winner row with an exact
+# (attrs^T @ onehot) matmul per chunk: onehot = (row id == tid[pixel]) &
+# (global row index inside the tile's true [start, end) segment — the
+# range mask kills duplicate entries of the same triangle carried in from
+# adjacent tiles' segments sharing a boundary chunk; bin_sorted dedups
+# corner keys so a tile's own segment lists a triangle at most once).
+# The Möller-Trumbore barycentric solve + attribute interpolation then run
+# in a (channels, pixels) row layout so every elementwise op is wide.
+# precision=HIGHEST keeps the f32 attribute bits exact through the MXU.
+# --------------------------------------------------------------------------
+
+#: attr-table column groups (see interpolate.pack_triangle_attributes)
+_A_BASE = 37
+_A_MAT = 48
+
+
+def build_stream_rows(setup, screen_aabb, order, big_ids, attrs=None,
+                      chunk: int = 256):
+    """ONE (row-count-bound) gather shared by the raster and the resolve:
+    cols 0:17 = edge/zplane/aabb/id (raster), 17: = packed attributes.
+
+    Returns (rows, big_rows, n_attr_cols)."""
+    ab = jnp.stack(screen_aabb, axis=1)
+    cols = [setup.edge.reshape(-1, 9), setup.zplane, ab]
+    table = jnp.concatenate(cols, axis=1)  # (R, 16)
+    if attrs is not None:
+        table = jnp.concatenate([table, jnp.zeros_like(table[:, :1]), attrs],
+                                axis=1)
+        # (R, 17 + A); col 16 overwritten with the id below
+
+    na = 0 if attrs is None else attrs.shape[1]
+    tot = 17 + na
+
+    def packed_rows(idx):
+        live = idx >= 0
+        r = table[jnp.maximum(idx, 0)]
+        idf = jnp.where(live, idx, -1).astype(jnp.float32)
+        if attrs is None:
+            r = jnp.concatenate([r, idf[:, None]], axis=1)
+        else:
+            r = r.at[:, 16].set(idf)
+        return jnp.where(live[:, None], r,
+                         jnp.zeros((1, tot)).at[0, 16].set(-1.0))
+
+    rows = packed_rows(order)
+    n = rows.shape[0]
+    npad = common.round_up(n, chunk) + chunk
+    dead = jnp.zeros((npad - n, tot), jnp.float32).at[:, 16].set(-1.0)
+    rows = jnp.concatenate([rows, dead])
+
+    bpad = max(common.round_up(big_ids.shape[0], CHUNK), CHUNK)
+    big_rows = packed_rows(big_ids)
+    if bpad != big_rows.shape[0]:
+        bdead = jnp.zeros(
+            (bpad - big_rows.shape[0], tot), jnp.float32
+        ).at[:, 16].set(-1.0)
+        big_rows = jnp.concatenate([big_rows, bdead])
+    return rows, big_rows, na
+
+
+def _resolve_kernel(sc_ref, rows_ref, big_ref, tid_ref, par_ref, *refs,
+                    ntx: int, ntiles: int, chunk: int, kmax: int,
+                    na: int, npix: int):
+    """Grid (ty, tx, k). Accumulate winner rows into acc scratch (k loop),
+    interpolate + write planes at the last step."""
+    outs = list(refs[:-1])
+    acc_ref = refs[-1]
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    k = pl.program_id(2)
+    t = ti * ntx + tj
+    c0 = sc_ref[t]
+    spt = sc_ref[ntiles + t]
+    start = sc_ref[2 * ntiles + t]
+    end = sc_ref[3 * ntiles + t]
+
+    tid_row = tid_ref[...].reshape(1, npix).astype(jnp.float32)
+
+    def accumulate(rows, rowg0, use_range):
+        s_attr = rows[:, 17:17 + na]                  # (C, A)
+        ids = rows[:, 16:17]                          # (C, 1) float ids
+        match = (ids == tid_row) & (ids >= 0.0)       # (C, npix)
+        if use_range:
+            riota = jax.lax.broadcasted_iota(
+                jnp.int32, (rows.shape[0], 1), 0
+            ) + rowg0
+            match &= (riota >= start) & (riota < end)
+        onehot = match.astype(jnp.float32)
+        contrib = jax.lax.dot_general(
+            s_attr.T, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                              # (A, npix)
+        acc_ref[...] += contrib
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        accumulate(big_ref[...], 0, use_range=False)
+
+    @pl.when((k == 0) | (k < spt))
+    def _():
+        accumulate(rows_ref[...], (c0 + k) * chunk, use_range=True)
+
+    @pl.when(k == kmax - 1)
+    def _():
+        a = acc_ref[...]
+
+        def row(i):
+            return a[i:i + 1, :]                       # (1, npix)
+
+        def rows3(i):
+            return row(i), row(i + 1), row(i + 2)
+
+        par = par_ref[...]
+
+        def p(i):
+            return par[i // 128, i % 128]
+
+        # pixel coords -> world rays (interpolate._unproject_rays math)
+        oy = (ti * TILE_H).astype(jnp.float32)
+        ox = (tj * TILE_W).astype(jnp.float32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+        pxr = ox + (idx % TILE_W).astype(jnp.float32) + 0.5
+        pyr = oy + (idx // TILE_W).astype(jnp.float32) + 0.5
+        # params: [0:16] inv_vp row-major, [16:19] camera, [19] 1/width,
+        # [20] 1/full_height, [21] row0
+        ndc_x = pxr * p(19) * 2.0 - 1.0
+        ndc_y = 1.0 - (pyr + p(21)) * p(20) * 2.0
+
+        def mv(r):
+            return ((p(4 * r + 0) * ndc_x + p(4 * r + 1) * ndc_y)
+                    + (p(4 * r + 2) * 0.5 + p(4 * r + 3)))
+
+        pw = mv(3)
+        inv_w = 1.0 / pw
+        cx, cy, cz = p(16), p(17), p(18)
+        dx = mv(0) * inv_w - cx
+        dy = mv(1) * inv_w - cy
+        dz = mv(2) * inv_w - cz
+
+        v0x, v0y, v0z = rows3(0)
+        e1x, e1y, e1z = rows3(3)
+        e2x, e2y, e2z = rows3(6)
+
+        # Möller-Trumbore u, v (raster already decided coverage)
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = cx - v0x
+        tvy = cy - v0y
+        tvz = cz - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        u = jnp.clip(u, 0.0, 1.0)
+        v = jnp.clip(v, 0.0, 1.0 - u)
+
+        def lerp3(b0, b1, b2):
+            return row(b0) + row(b1) * u + row(b2) * v
+
+        def w(i, val):
+            outs[i][...] = val.reshape(TILE_H, TILE_W)
+
+        w(0, v0x + e1x * u + e2x * v)
+        w(1, v0y + e1y * u + e2y * v)
+        w(2, v0z + e1z * u + e2z * v)
+        for c in range(3):   # normal
+            w(3 + c, lerp3(9 + c, 12 + c, 15 + c))
+        for c in range(2):   # uv
+            w(6 + c, lerp3(18 + c, 20 + c, 22 + c))
+        for c in range(4):   # vertex color
+            w(8 + c, lerp3(24 + c, 28 + c, 32 + c))
+        w(12, row(36))       # material id (f32)
+        if na >= _A_MAT:
+            for c in range(3):
+                w(13 + c, row(37 + c))          # albedo
+            w(16, row(40))                      # metallic
+            w(17, row(41))                      # roughness
+            for c in range(3):
+                w(18 + c, row(42 + c))          # emissive
+            w(21, row(45))                      # albedo layer
+            w(22, row(46))                      # normal layer
+            # tangent-frame seeds for normal mapping (done in XLA):
+            # t_raw = e1 * duv2.y - e2 * duv1.y, plus the uv determinant
+            duv1y = row(21)
+            duv2y = row(23)
+            w(23, e1x * duv2y - e2x * duv1y)
+            w(24, e1y * duv2y - e2y * duv1y)
+            w(25, e1z * duv2y - e2z * duv1y)
+            w(26, row(20) * row(23) - row(22) * row(21))  # duv determinant
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_y", "tiles_x", "chunk", "kmax", "na"),
+)
+def resolve_stream(rows, big_rows, tid, starts, counts, n_big,
+                   inv_vp, camera_position, *, tiles_y: int, tiles_x: int,
+                   na: int, width: int, full_height: int, row0=0,
+                   chunk: int = 256, kmax: int = 16):
+    """Expand each pixel's winning triangle row and interpolate — returns
+    a dict of (H, W) planes (see _resolve_kernel write order)."""
+    ntiles = tiles_y * tiles_x
+    npix = TILE_H * TILE_W
+    starts = starts.astype(jnp.int32)
+    counts = counts.astype(jnp.int32)
+    ends = starts + counts
+    c0 = starts // chunk
+    c1 = jnp.maximum((ends + chunk - 1) // chunk, c0 + 1)
+    spt = jnp.minimum(c1 - c0, kmax)
+    sc = jnp.concatenate([c0, spt, starts, ends])
+
+    par = jnp.zeros((8, 128), jnp.float32)
+    par = par.at[0, 0:16].set(jnp.asarray(inv_vp, jnp.float32).reshape(16))
+    par = par.at[0, 16:19].set(jnp.asarray(camera_position, jnp.float32))
+    par = par.at[0, 19].set(1.0 / width)
+    par = par.at[0, 20].set(1.0 / full_height)
+    par = par.at[0, 21].set(jnp.asarray(row0, jnp.float32))
+
+    def rows_map(i, j, k, sc):
+        t = i * tiles_x + j
+        return (sc[t] + jnp.minimum(k, jnp.maximum(sc[ntiles + t] - 1, 0)), 0)
+
+    def pix_map(i, j, k, sc):
+        return (i, j)
+
+    tot = 17 + na
+    n_out = 27 if na >= _A_MAT else 13
+    apad = common.round_up(na, 8)
+    if rows.shape[1] < 17 + apad:
+        rows = jnp.pad(rows, ((0, 0), (0, 17 + apad - rows.shape[1])))
+        big_rows = jnp.pad(
+            big_rows, ((0, 0), (0, 17 + apad - big_rows.shape[1]))
+        )
+
+    H, W = tiles_y * TILE_H, tiles_x * TILE_W
+    if tid.shape != (H, W):
+        tid = jnp.pad(tid, ((0, H - tid.shape[0]), (0, W - tid.shape[1])),
+                      constant_values=-1)
+
+    kernel = functools.partial(
+        _resolve_kernel, ntx=tiles_x, ntiles=ntiles, chunk=chunk,
+        kmax=kmax, na=apad, npix=npix,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y, tiles_x, kmax),
+        in_specs=[
+            pl.BlockSpec((chunk, 17 + apad), rows_map),
+            pl.BlockSpec((big_rows.shape[0], 17 + apad),
+                         lambda i, j, k, sc: (0, 0)),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((8, 128), lambda i, j, k, sc: (0, 0)),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((TILE_H, TILE_W), pix_map) for _ in range(n_out)
+        ),
+        scratch_shapes=[pltpu.VMEM((apad, npix), jnp.float32)],
+    )
+    outs = common.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((H, W), jnp.float32) for _ in range(n_out)
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(sc, rows, big_rows, tid, par)
+    return outs
