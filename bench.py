@@ -208,6 +208,8 @@ def bench_forward(width, height, num_lights, num_objects, frames,
             "bin_rounds": 4,
             "max_lights_per_tile": 128,
             "pallas_shading": True,
+            # A/B knob: fused visibility resolve (resolve_gbuffer_stream)
+            "fused_resolve": os.environ.get("SAILOR_FUSED_RESOLVE", "0") == "1",
         },
     )
     import jax.numpy as jnp

@@ -134,3 +134,31 @@ def test_full_graph_fused_resolve_matches():
     assert np.isfinite(b).all()
     # identical up to the fused path's f32 association (sub-LDR-step)
     assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
+
+
+def test_sharded_graph_fused_resolve_matches():
+    """Fused resolve under the 8-shard screen-row mesh: per-shard bins +
+    shard-local windows must reproduce the single-device fused render."""
+    import jax
+
+    from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+    from sailor_tpu.parallel.mesh import make_mesh
+    import tests.test_parallel_graph as tp
+
+    assert len(jax.devices()) >= 8
+    scene = tp._scene()
+    cfg = dict(tp._CONFIG, fused_resolve=True)
+
+    fg1 = FrameGraph(tp._full_asset(), tp.W, tp.H, config=dict(cfg))
+    state = fg1.initial_state()
+    fg1.prepare(scene, state)
+    t1, _ = fg1.process(scene, state)
+
+    fg8 = FrameGraph(tp._full_asset(), tp.W, tp.H, config=dict(cfg))
+    state8 = fg8.initial_state()
+    fg8.prepare(scene, state8)
+    t8, _ = fg8.process_sharded(scene, state8, make_mesh(8))
+
+    a, b = np.asarray(t1["Final"]), np.asarray(t8["Final"])
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
