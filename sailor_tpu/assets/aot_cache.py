@@ -65,9 +65,18 @@ def enabled() -> bool:
     if env is not None:
         return env != "0"
     try:
-        return jax.default_backend() in ("tpu", "axon")
+        backend = jax.default_backend()
     except Exception:
         return False
+    if backend == "tpu":
+        return True
+    if backend == "axon":
+        # default-on only after a successful serialize/deserialize probe
+        # on this backend (tools/probe_aot_backend.py writes the marker) —
+        # an untested crash in the PjRt serialize path must not be able to
+        # take down the driver benchmark.
+        return (cache_dir() / ".axon_ok").exists()
+    return False
 
 
 def cache_dir() -> Path:
