@@ -224,11 +224,11 @@ class DepthPrepassNode(BaseNode):
 
         # Fused visibility resolve (resolve_gbuffer_stream): share ONE
         # combined row gather between the raster and RenderScene's
-        # attribute expansion. Only sound when every winner comes from
-        # THIS binning — masked depth-peel layers raster from a separate
-        # bin, so multi-queue scenes keep the classic gathered resolve.
+        # attribute expansion. Every queue that can win the visibility
+        # buffer contributes its bin set (opaque here; masked peel below)
+        # — a pixel's winner matches in exactly one, the rest add zeros.
         attrs = None
-        if (ctx.config.get("fused_resolve", False) and queue_of is None
+        if (ctx.config.get("fused_resolve", False)
                 and ctx.config.get("raster_mode", "stream") == "stream"):
             attrs = interpolate.pack_triangle_attributes(
                 geo, tri.src_id, scene.materials
@@ -238,9 +238,9 @@ class DepthPrepassNode(BaseNode):
             capacity=capacity, rounds=rounds, attrs=attrs,
         )
         if attrs is not None:
-            targets["StreamBins"] = dict(
+            targets["StreamBins"] = [dict(
                 raster.stream_bins, tiles_y=tiles_y, tiles_x=tiles_x,
-            )
+            )]
         # surfaced so callers/tests can assert nothing was dropped
         targets["BinOverflow"] = overflow
         depth, tid = raster()
@@ -251,8 +251,12 @@ class DepthPrepassNode(BaseNode):
             masked_valid = tri.valid & (queue_of == 1)
             raster_m, _ = _make_raster(
                 tri, masked_valid, aabb, tiles_y, tiles_x, ctx.config,
-                capacity=capacity,
+                capacity=capacity, attrs=attrs,
             )
+            if attrs is not None:
+                targets["StreamBins"].append(dict(
+                    raster_m.stream_bins, tiles_y=tiles_y, tiles_x=tiles_x,
+                ))
             inv_vp = jnp.linalg.inv(vp)
             cam = scene.frame.camera_position
 
@@ -820,7 +824,7 @@ class RenderSceneNode(BaseNode):
                 sb, targets["TriId"], inv_vp, scene.frame.camera_position,
                 materials=scene.materials,
                 width=ctx.width, height=ctx.height,
-                tiles_y=int(sb["tiles_y"]), tiles_x=int(sb["tiles_x"]),
+                tiles_y=int(sb[0]["tiles_y"]), tiles_x=int(sb[0]["tiles_x"]),
                 full_height=ctx.full_height, row0=ctx.row0,
             )
         else:

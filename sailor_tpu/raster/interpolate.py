@@ -303,15 +303,24 @@ def resolve_gbuffer_stream(
     valid = tri_id >= 0
     fh = full_height if full_height is not None else H
 
-    planes = tile_raster.resolve_stream(
-        stream_bins["rows"], stream_bins["big_rows"], tri_id,
-        stream_bins["starts"], stream_bins["counts"], stream_bins["n_big"],
-        inv_view_projection, camera_position,
-        tiles_y=tiles_y, tiles_x=tiles_x, na=int(stream_bins["na"]),
-        width=W, full_height=fh, row0=row0,
-        chunk=int(stream_bins.get("chunk", 256)),
-        kmax=int(stream_bins.get("kmax", 16)),
-    )
+    # one bin set per render queue that can win the visibility buffer
+    # (opaque always; masked when depth-peel layers merged in). A pixel's
+    # winner id matches in exactly one set, the rest contribute zeros, so
+    # the expanded planes simply SUM.
+    bin_sets = (stream_bins if isinstance(stream_bins, (list, tuple))
+                else [stream_bins])
+    planes = None
+    for sb in bin_sets:
+        ps = tile_raster.resolve_stream(
+            sb["rows"], sb["big_rows"], tri_id,
+            sb["starts"], sb["counts"], sb["n_big"],
+            inv_view_projection, camera_position,
+            tiles_y=tiles_y, tiles_x=tiles_x, na=int(sb["na"]),
+            width=W, full_height=fh, row0=row0,
+            chunk=int(sb.get("chunk", 256)),
+            kmax=int(sb.get("kmax", 16)),
+        )
+        planes = ps if planes is None else [a + b for a, b in zip(planes, ps)]
     planes = [p[:H, :W] for p in planes]
     wpos = jnp.stack(planes[0:3], axis=-1)
     normal = m3.normalize(jnp.stack(planes[3:6], axis=-1))

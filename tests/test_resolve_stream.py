@@ -162,3 +162,31 @@ def test_sharded_graph_fused_resolve_matches():
     a, b = np.asarray(t1["Final"]), np.asarray(t8["Final"])
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_masked_scene_fused_resolve_matches():
+    """Multi-queue scene: fused resolve sums the opaque + masked bin sets
+    and must match the classic gathered resolve's final image."""
+    from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+    import tests.test_render_queues as rq
+
+    tex = np.ones((8, 8, 4), np.float32)
+    tex[::2, :, 3] = 0.0
+    scene = rq._quad_scene(rq._mat_table(1, alpha_tex=tex))
+
+    def run(cfg):
+        fg = FrameGraph(
+            FrameGraphAsset.from_yaml(rq._GRAPH), rq.W, rq.H, config=cfg
+        )
+        state = fg.initial_state()
+        fg.prepare(scene, state)
+        targets, _ = fg.process(scene, state)
+        return targets
+
+    t_ref = run({"bin_capacity": 256, "bin_rounds": 2})
+    t_new = run({"bin_capacity": 256, "bin_rounds": 2,
+                 "fused_resolve": True})
+    a = np.asarray(t_ref["Final"])
+    b = np.asarray(t_new["Final"])
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
