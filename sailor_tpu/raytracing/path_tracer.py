@@ -100,9 +100,14 @@ def _isect(scene: "TraceScene", origin, direction, t_max=None, *,
     if scene.sweep is not None and sweep_mod.scalar_bytes(
         scene.sweep, origin.shape[0]
     ) <= sweep_mod.SMEM_BUDGET:
+        import os
+
+        # A/B knob (campaign): ray sort pays off only when sub-blocks get
+        # selective — e.g. large sample_batch pools (see sweep.intersect)
+        sort = os.environ.get("SAILOR_SWEEP_SORT", "0") == "1"
         return sweep_mod.intersect(
             scene.sweep, origin, direction, t_max,
-            any_hit=any_hit, active=active,
+            any_hit=any_hit, active=active, sort_rays=sort,
         )
     return bvh_mod.intersect(
         scene.bvh, origin, direction, t_max, any_hit=any_hit, active=active,
