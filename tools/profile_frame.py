@@ -53,6 +53,8 @@ def main():
             "z_far": 150.0, "shadow_resolution": 1024, "env_resolution": 32,
             "bin_capacity": 1024, "bin_rounds": 4, "max_lights_per_tile": 128,
             "pallas_shading": True,
+            "fused_resolve": os.environ.get(
+                "SAILOR_FUSED_RESOLVE", "0") == "1",
         },
     )
     state = fg.initial_state()
