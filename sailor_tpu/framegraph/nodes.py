@@ -264,10 +264,18 @@ class DepthPrepassNode(BaseNode):
                 depth, tid, zhi, undecided = carry
                 d_k, t_k = raster_m((depth, zhi))
                 d_k, t_k = d_k[:h, :w], t_k[:h, :w]
-                alpha, cutoff = interpolate.resolve_alpha(
-                    geo, tri, t_k, inv_vp, cam, mats, ctx.row0,
-                    ctx.full_height
-                )
+                if attrs is not None:
+                    # stream-expanded alpha: no per-layer (H*W)-row gather
+                    alpha, cutoff = interpolate.resolve_alpha_stream(
+                        raster_m.stream_bins, t_k, inv_vp, cam, mats,
+                        width=w, height=h, tiles_y=tiles_y, tiles_x=tiles_x,
+                        full_height=ctx.full_height, row0=ctx.row0,
+                    )
+                else:
+                    alpha, cutoff = interpolate.resolve_alpha(
+                        geo, tri, t_k, inv_vp, cam, mats, ctx.row0,
+                        ctx.full_height
+                    )
                 hit = t_k >= 0
                 passed = hit & (alpha >= cutoff) & undecided
                 return (

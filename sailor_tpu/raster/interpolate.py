@@ -59,7 +59,7 @@ def pixel_rays(inv_view_projection, camera_position, height: int, width: int,
 
 
 def pack_triangle_attributes(geometry, src_id, materials=None):
-    """Per-RASTER-triangle packed attribute table (R, 37 | 48).
+    """Per-RASTER-triangle packed attribute table (R, 37 | 49).
 
     Column layout: v0(3) e1(3) e2(3) n0(3) dn1(3) dn2(3) uv0(2) duv1(2)
     duv2(2) c0(4) dc1(4) dc2(4) mat_id(1). Deltas make per-pixel interp a
@@ -106,6 +106,7 @@ def pack_triangle_attributes(geometry, src_id, materials=None):
             materials.albedo_texture[mid].astype(jnp.float32)[:, None],
             materials.normal_texture[mid].astype(jnp.float32)[:, None],
             materials.opacity[mid][:, None],
+            materials.alpha_cutoff[mid][:, None],
         ]
     return jnp.concatenate(cols, axis=1)
 
@@ -383,3 +384,47 @@ def resolve_gbuffer_stream(
         emissive=emissive * cov[..., None],
         coverage=cov,
     ), uv, mat_id
+
+
+def resolve_alpha_stream(
+    stream_bins,
+    tri_id,
+    inv_view_projection,
+    camera_position,
+    materials,
+    *,
+    width: int,
+    height: int,
+    tiles_y: int,
+    tiles_x: int,
+    full_height: int | None = None,
+    row0=0,
+):
+    """resolve_alpha without the per-layer (H*W)-row gather: the fused
+    kernel expands uv / vertex-color alpha / texture layer / cutoff from
+    the MASKED queue's bin windows. Returns (alpha (H, W), cutoff)."""
+    from sailor_tpu.assets.materials import _sample_texture_stack
+    from sailor_tpu.raster import tile_raster
+
+    H, W = tri_id.shape
+    fh = full_height if full_height is not None else H
+    sb = stream_bins
+    planes = tile_raster.resolve_stream(
+        sb["rows"], sb["big_rows"], tri_id,
+        sb["starts"], sb["counts"], sb["n_big"],
+        inv_view_projection, camera_position,
+        tiles_y=tiles_y, tiles_x=tiles_x, na=int(sb["na"]),
+        width=W, full_height=fh, row0=row0,
+        chunk=int(sb.get("chunk", 256)), kmax=int(sb.get("kmax", 16)),
+    )
+    planes = [p[:H, :W] for p in planes]
+    uv = jnp.stack(planes[6:8], axis=-1)
+    color_a = planes[11]
+    cutoff = planes[27]
+    if materials.textures.shape[0] > 0:
+        a_layer = planes[21].astype(jnp.int32)
+        tex = _sample_texture_stack(materials.textures, a_layer, uv)
+        alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
+    else:
+        alpha = jnp.ones_like(color_a)
+    return alpha * color_a, cutoff

@@ -656,7 +656,7 @@ def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
 
 #: attr-table column groups (see interpolate.pack_triangle_attributes)
 _A_BASE = 37
-_A_MAT = 48
+_A_MAT = 49
 
 
 def build_stream_rows(setup, screen_aabb, order, big_ids, attrs=None,
@@ -839,6 +839,7 @@ def _resolve_kernel(sc_ref, rows_ref, big_ref, tid_ref, par_ref, *refs,
             w(24, e1y * duv2y - e2y * duv1y)
             w(25, e1z * duv2y - e2z * duv1y)
             w(26, row(20) * row(23) - row(22) * row(21))  # duv determinant
+            w(27, row(48))                      # alpha cutoff (Masked)
 
 
 @functools.partial(
@@ -876,7 +877,7 @@ def resolve_stream(rows, big_rows, tid, starts, counts, n_big,
         return (i, j)
 
     tot = 17 + na
-    n_out = 27 if na >= _A_MAT else 13
+    n_out = 28 if na >= _A_MAT else 13
     apad = common.round_up(na, 8)
     if rows.shape[1] < 17 + apad:
         rows = jnp.pad(rows, ((0, 0), (0, 17 + apad - rows.shape[1])))
