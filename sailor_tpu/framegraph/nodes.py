@@ -1012,9 +1012,17 @@ class RenderTransparentNode(BaseNode):
         tvalid = tri.valid & (
             mats.queue[geo.material_id[tri.src_id]] == 2
         )
+        t_attrs = None
+        if (ctx.config.get("fused_resolve", False)
+                and ctx.config.get("raster_mode", "stream") == "stream"):
+            # own attrs table: the two-sided setup has its own src_id map
+            t_attrs = interpolate.pack_triangle_attributes(
+                geo, tri.src_id, mats
+            )
         raster_t, _ = _make_raster(
             tri, tvalid, aabb, tiles_y, tiles_x, ctx.config,
             capacity=int(ctx.config.get("bin_capacity", 512)),
+            attrs=t_attrs,
         )
         K = int(ctx.config.get("transparent_layers", 3))
         zlo = targets["Depth"]
@@ -1032,10 +1040,18 @@ class RenderTransparentNode(BaseNode):
         php, ppw = round_up(h, t), round_up(w, t)
         color = targets["Main"]
         for t_k in reversed(layers):
-            gb, _uv, mat_id = interpolate.resolve_gbuffer(
-                geo, tri, t_k, inv_vp, cam, materials=mats,
-                full_height=ctx.full_height, row0=ctx.row0,
-            )
+            if t_attrs is not None:
+                gb, _uv, mat_id, extras = interpolate.resolve_gbuffer_stream(
+                    raster_t.stream_bins, t_k, inv_vp, cam, materials=mats,
+                    width=w, height=h, tiles_y=tiles_y, tiles_x=tiles_x,
+                    full_height=ctx.full_height, row0=ctx.row0,
+                    return_extras=True,
+                )
+            else:
+                gb, _uv, mat_id = interpolate.resolve_gbuffer(
+                    geo, tri, t_k, inv_vp, cam, materials=mats,
+                    full_height=ctx.full_height, row0=ctx.row0,
+                )
             gb_p = gb
             if (php, ppw) != (h, w):
                 def pad2(x):
@@ -1045,9 +1061,9 @@ class RenderTransparentNode(BaseNode):
             hdr = pbr.shade_forward_plus(
                 gb_p, scene.lights, targets["LightIndices"], cam,
             )[:h, :w]
-            a = (
-                gb.albedo[..., 3] * mats.opacity[mat_id] * gb.coverage
-            )[..., None]
+            opac = (extras["opacity"] if t_attrs is not None
+                    else mats.opacity[mat_id])
+            a = (gb.albedo[..., 3] * opac * gb.coverage)[..., None]
             color = color * (1.0 - a) + hdr * a
         targets["Main"] = color
         return targets

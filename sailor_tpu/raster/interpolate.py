@@ -286,6 +286,7 @@ def resolve_gbuffer_stream(
     tiles_x: int,
     full_height: int | None = None,
     row0=0,
+    return_extras: bool = False,
 ):
     """resolve_gbuffer without the (H*W)-row random gather: the fused
     Pallas kernel (tile_raster.resolve_stream) re-streams each tile's
@@ -374,7 +375,7 @@ def resolve_gbuffer_stream(
         emissive = jnp.zeros((H, W, 3))
 
     cov = valid.astype(jnp.float32)
-    return GBuffer(
+    gb = GBuffer(
         world_position=wpos * cov[..., None],
         normal=jnp.where(valid[..., None], normal, jnp.asarray([0.0, 0.0, 1.0])),
         albedo=albedo * cov[..., None],
@@ -383,7 +384,14 @@ def resolve_gbuffer_stream(
         ao=jnp.ones((H, W)),
         emissive=emissive * cov[..., None],
         coverage=cov,
-    ), uv, mat_id
+    )
+    if return_extras:
+        extras = {}
+        if materials is not None and len(planes) >= 29:
+            extras["cutoff"] = planes[27]
+            extras["opacity"] = planes[28]
+        return gb, uv, mat_id, extras
+    return gb, uv, mat_id
 
 
 def resolve_alpha_stream(

@@ -840,6 +840,7 @@ def _resolve_kernel(sc_ref, rows_ref, big_ref, tid_ref, par_ref, *refs,
             w(25, e1z * duv2y - e2z * duv1y)
             w(26, row(20) * row(23) - row(22) * row(21))  # duv determinant
             w(27, row(48))                      # alpha cutoff (Masked)
+            w(28, row(47))                      # opacity (Transparent)
 
 
 @functools.partial(
@@ -877,7 +878,7 @@ def resolve_stream(rows, big_rows, tid, starts, counts, n_big,
         return (i, j)
 
     tot = 17 + na
-    n_out = 28 if na >= _A_MAT else 13
+    n_out = 29 if na >= _A_MAT else 13
     apad = common.round_up(na, 8)
     if rows.shape[1] < 17 + apad:
         rows = jnp.pad(rows, ((0, 0), (0, 17 + apad - rows.shape[1])))

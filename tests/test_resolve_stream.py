@@ -190,3 +190,29 @@ def test_masked_scene_fused_resolve_matches():
     b = np.asarray(t_new["Final"])
     assert np.isfinite(b).all()
     assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
+
+
+def test_transparent_scene_fused_resolve_matches():
+    """Transparent queue: fused per-layer resolve (+ opacity plane) must
+    match the classic path's blended image."""
+    from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+    import tests.test_render_queues as rq
+
+    scene = rq._quad_scene(rq._mat_table(2, opacity1=0.5))
+
+    def run(cfg):
+        fg = FrameGraph(
+            FrameGraphAsset.from_yaml(rq._GRAPH), rq.W, rq.H, config=cfg
+        )
+        state = fg.initial_state()
+        fg.prepare(scene, state)
+        targets, _ = fg.process(scene, state)
+        return targets
+
+    t_ref = run({"bin_capacity": 256, "bin_rounds": 2})
+    t_new = run({"bin_capacity": 256, "bin_rounds": 2,
+                 "fused_resolve": True})
+    a = np.asarray(t_ref["Main"])
+    b = np.asarray(t_new["Main"])
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
