@@ -205,7 +205,7 @@ def render_queues():
 DUCK_GLB = "/root/reference/Content/Models/DuckGlb/Duck.glb"
 
 
-def render_content():
+def render_content(extra_config=None):
     """Textured GLTF (Duck.glb) + floor through the FULL frame graph —
     the real-content golden (ModelImporter.cpp:382-520 parity)."""
     from sailor_tpu.assets import gltf
@@ -268,7 +268,8 @@ def render_content():
         ),
         W, H,
         config={"z_far": 60.0, "shadow_resolution": 256, "env_resolution": 16,
-                "bin_capacity": 256, "bin_rounds": 2, "sky_clouds": False},
+                "bin_capacity": 256, "bin_rounds": 2, "sky_clouds": False,
+                **(extra_config or {})},
     )
     state = fg.initial_state()
     fg.prepare(scene, state)
@@ -323,4 +324,21 @@ def test_golden(name):
     assert diff.mean() < 2.5, f"{name}: mean {diff.mean():.2f}"
     assert np.percentile(diff, 99) < 12, (
         f"{name}: p99 {np.percentile(diff, 99):.1f} max {diff.max():.0f}"
+    )
+
+
+def test_content_golden_with_fused_resolve():
+    """Real-content scene (textured Duck.glb) through the FUSED resolve
+    must match the stored content golden within the golden tolerance."""
+    path = os.path.join(GOLDEN_DIR, "content.png")
+    if not os.path.exists(path):
+        pytest.skip("content golden missing")
+    if not os.path.exists(DUCK_GLB):
+        pytest.skip("reference Duck.glb not mounted")
+    ref = load_png(path).astype(np.float32)
+    got = render_content({"fused_resolve": True}).astype(np.float32)
+    diff = np.abs(got - ref)
+    assert diff.mean() < 2.5, f"fused content: mean {diff.mean():.2f}"
+    assert np.percentile(diff, 99) < 12, (
+        f"fused content: p99 {np.percentile(diff, 99):.1f}"
     )
