@@ -877,7 +877,6 @@ def resolve_stream(rows, big_rows, tid, starts, counts, n_big,
     def pix_map(i, j, k, sc):
         return (i, j)
 
-    tot = 17 + na
     n_out = 29 if na >= _A_MAT else 13
     apad = common.round_up(na, 8)
     if rows.shape[1] < 17 + apad:
