@@ -238,9 +238,15 @@ class DepthPrepassNode(BaseNode):
             capacity=capacity, rounds=rounds, attrs=attrs,
         )
         if attrs is not None:
-            targets["StreamBins"] = [dict(
-                raster.stream_bins, tiles_y=tiles_y, tiles_x=tiles_x,
-            )]
+            # targets may cross separate per-node jits (process_pernode):
+            # keep ONLY arrays in the dict; the static shape facts travel
+            # via the shared config object (written at trace time, before
+            # any consumer node traces)
+            sb0 = dict(raster.stream_bins)
+            ctx.config["_fused_meta"] = [
+                {k: sb0.pop(k) for k in ("na", "chunk", "kmax")}
+            ]
+            targets["StreamBins"] = [sb0]
         # surfaced so callers/tests can assert nothing was dropped
         targets["BinOverflow"] = overflow
         depth, tid = raster()
@@ -254,9 +260,11 @@ class DepthPrepassNode(BaseNode):
                 capacity=capacity, attrs=attrs,
             )
             if attrs is not None:
-                targets["StreamBins"].append(dict(
-                    raster_m.stream_bins, tiles_y=tiles_y, tiles_x=tiles_x,
-                ))
+                sbm = dict(raster_m.stream_bins)
+                ctx.config["_fused_meta"].append(
+                    {k: sbm.pop(k) for k in ("na", "chunk", "kmax")}
+                )
+                targets["StreamBins"].append(sbm)
             inv_vp = jnp.linalg.inv(vp)
             cam = scene.frame.camera_position
 
@@ -827,12 +835,16 @@ class RenderSceneNode(BaseNode):
             # fused path: expand winner rows from the tile bin windows in
             # VMEM instead of the (H*W)-row latency-bound random gather.
             # pop: the 100 MB row table must not outlive the resolve.
-            sb = targets.pop("StreamBins")
+            sb = [dict(arrays, **meta) for arrays, meta in
+                  zip(targets.pop("StreamBins"), ctx.config["_fused_meta"])]
+            pw = round_up(ctx.width, tile_raster.TILE_W)
+            ph = round_up(ctx.height, tile_raster.TILE_H)
             gbuffer, uv, mat_id = interpolate.resolve_gbuffer_stream(
                 sb, targets["TriId"], inv_vp, scene.frame.camera_position,
                 materials=scene.materials,
                 width=ctx.width, height=ctx.height,
-                tiles_y=int(sb[0]["tiles_y"]), tiles_x=int(sb[0]["tiles_x"]),
+                tiles_y=ph // tile_raster.TILE_H,
+                tiles_x=pw // tile_raster.TILE_W,
                 full_height=ctx.full_height, row0=ctx.row0,
             )
         else:
