@@ -216,3 +216,47 @@ def test_transparent_scene_fused_resolve_matches():
     b = np.asarray(t_new["Main"])
     assert np.isfinite(b).all()
     assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
+
+
+def test_sharded_queues_fused_resolve_matches():
+    """All three features together: masked+transparent queues, 8-shard
+    mesh, fused resolve — sharded must equal single-device."""
+    import jax
+
+    from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
+    from sailor_tpu.parallel.mesh import make_mesh
+    import tests.test_parallel_graph as tp
+    import tests.test_render_queues as rq
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.rhi.types import FrameData
+
+    assert len(jax.devices()) >= 8
+    tex = np.ones((8, 8, 4), np.float32)
+    tex[::2, :, 3] = 0.0
+    scene = rq._quad_scene(rq._mat_table(1, alpha_tex=tex))
+    cam = jnp.asarray([0.0, 2.0, 8.0])
+    view = m3.look_at(cam, jnp.asarray([0.0, 2.0, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, tp.W / tp.H, 0.1, 100.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 100.0, time=0.0,
+                             dt=1 / 60)
+    scene = scene.replace(frame=frame, prev_frame=frame)
+
+    asset = FrameGraphAsset.from_yaml(
+        "frame:\n - name: DepthPrepass\n - name: LinearizeDepth\n"
+        " - name: LightCulling\n - name: RenderScene\n"
+        " - name: RenderTransparent\n - name: EyeAdaptation\n"
+    )
+    cfg = {"bin_capacity": 256, "bin_rounds": 2, "fused_resolve": True}
+    fg1 = FrameGraph(asset, tp.W, tp.H, config=dict(cfg))
+    s1 = fg1.initial_state()
+    fg1.prepare(scene, s1)
+    t1, _ = fg1.process(scene, s1)
+
+    fg8 = FrameGraph(asset, tp.W, tp.H, config=dict(cfg))
+    s8 = fg8.initial_state()
+    fg8.prepare(scene, s8)
+    t8, _ = fg8.process_sharded(scene, s8, make_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(t8["Main"]), np.asarray(t1["Main"]), atol=1e-5, rtol=1e-5
+    )
