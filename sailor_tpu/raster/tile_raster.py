@@ -639,6 +639,11 @@ def rasterize_tiles(setup, bins, *, tiles_y: int, tiles_x: int, counts=None,
 # Fused visibility resolve: per-pixel attribute expansion WITHOUT the
 # (H*W)-row random gather.
 #
+# Reference counterpart: the fixed-function vertex-attribute interpolation
+# feeding the forward pass (Runtime/FrameGraph/RenderSceneNode.cpp:109-380,
+# Content/Shaders/Standard.shader `Vertex` block) — re-architected for the
+# TPU visibility buffer rather than ported.
+#
 # resolve_gbuffer's packed[tid] gather is latency-bound at ~14 ms for a
 # 1080p frame (cost = row count, not width). But each pixel's winner row
 # lives in its own tile's bin_sorted segment — the SAME chunk-aligned
