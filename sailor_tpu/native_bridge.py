@@ -55,13 +55,26 @@ def load(build: bool = True):
         if _lib is not None:
             return _lib
         if _stale() and build:
+            # Inter-process exclusion: concurrent test workers / benches on
+            # a freshly migrated host all see a stale library and race the
+            # rebuild — loading a half-written .so raises "file too short".
+            # One flock'd builder; everyone else blocks, then re-checks.
             try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "-s", "clean", "all"],
-                    check=True, capture_output=True, timeout=120,
-                )
-                with open(_SIG_PATH, "w") as f:
-                    f.write(_host_sig())
+                import fcntl
+
+                with open(_LIB_PATH + ".lock", "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    try:
+                        if _stale():
+                            subprocess.run(
+                                ["make", "-C", _NATIVE_DIR, "-s",
+                                 "clean", "all"],
+                                check=True, capture_output=True, timeout=120,
+                            )
+                            with open(_SIG_PATH, "w") as f:
+                                f.write(_host_sig())
+                    finally:
+                        fcntl.flock(lk, fcntl.LOCK_UN)
             except Exception:
                 return None
         if not os.path.exists(_LIB_PATH):

@@ -165,6 +165,73 @@ def sky_radiance(scene: TraceScene, direction, include_sun: bool = True):
     return base
 
 
+@functools.lru_cache(maxsize=8)
+def _swizzle_maps(height: int, width: int, ray_block: int, sub: int):
+    """Static pixel->slot permutation that makes every sweep ray block a
+    spatially TIGHT supertile instead of a thin scanline strip.
+
+    Scanline order hands the sweep intersector (sweep.py) ray blocks that
+    span the full image width (e.g. 512x4 px for RAY_BLOCK=2048) — each
+    block's frustum crosses most clusters, so the per-(sub-block, cluster)
+    liveness masks stay dense (measured 0.62 vs 0.04 per-ray density).
+    This order packs each SUB-ray sub-block into a ~square pixel subtile
+    (16x16 for SUB=256) and each ray block into a supertile of those
+    (32x64 px for RAY_BLOCK=2048), so sub-block masks approach per-ray
+    selectivity — and it costs nothing per dispatch: rays are GENERATED
+    in swizzled order and the image is unswizzled once per render.
+    Bounce-ray origins inherit the locality (they are the hit points of a
+    compact pixel tile).
+
+    Returns (perm, inv, r_sw): ``perm[slot] = clamped scanline pixel id``
+    (the ray each slot traces), ``inv[pixel] = slot`` (for the final
+    unswizzle gather), ``r_sw >= H*W`` the padded ray count.
+    """
+    import numpy as np
+
+    nsub = max(ray_block // sub, 1)
+    m = sub.bit_length() - 1
+    th = 1 << (m // 2)            # subtile height (16 for SUB=256)
+    tw = sub // th
+    k = nsub.bit_length() - 1
+    sh = 1 << (k // 2)            # subtiles per supertile, vertical
+    sw = nsub // sh
+    H2 = -(-height // (th * sh)) * (th * sh)
+    W2 = -(-width // (tw * sw)) * (tw * sw)
+    Y, X = np.meshgrid(np.arange(H2), np.arange(W2), indexing="ij")
+    sty, stx = Y // (th * sh), X // (tw * sw)
+    suy, sux = (Y % (th * sh)) // th, (X % (tw * sw)) // tw
+    iy, ix = Y % th, X % tw
+    n_stx = W2 // (tw * sw)
+    slot = (
+        (((sty * n_stx + stx) * sh + suy) * sw + sux) * th + iy
+    ) * tw + ix
+    pix = np.minimum(Y, height - 1) * width + np.minimum(X, width - 1)
+    perm = np.empty(H2 * W2, np.int32)
+    perm[slot.reshape(-1)] = pix.reshape(-1)
+    inv = np.empty(height * width, np.int32)
+    real = ((Y < height) & (X < width)).reshape(-1)
+    inv[pix.reshape(-1)[real]] = slot.reshape(-1)[real]
+    return perm, inv, H2 * W2
+
+
+def camera_rays_flat(camera_pos, view, proj, width, height, px, py,
+                     u_jitter, v_jitter):
+    """Primary rays through explicit (possibly swizzled) pixel coords:
+    ``px``/``py`` are static per-ray pixel indices, jitters are per-ray."""
+    inv_vp = jnp.linalg.inv(proj @ view)
+    xs = (px.astype(jnp.float32) + u_jitter) / width
+    ys = (py.astype(jnp.float32) + v_jitter) / height
+    ndc = jnp.stack(
+        [xs * 2.0 - 1.0, 1.0 - 2.0 * ys,
+         jnp.full_like(xs, 0.5), jnp.ones_like(xs)],
+        axis=-1,
+    )
+    p = m3.homogenize(ndc @ inv_vp.T)
+    d = m3.normalize(p - camera_pos)
+    o = jnp.broadcast_to(camera_pos, d.shape)
+    return o, d
+
+
 def camera_rays(camera_pos, view, proj, width, height, u_jitter, v_jitter):
     """Primary rays through jittered pixel positions."""
     inv_vp = jnp.linalg.inv(proj @ view)
@@ -556,12 +623,34 @@ def trace_rays(scene, origin, direction, *, spp: int = 4,
     return acc / spp, rays
 
 
+def render(scene, camera_pos, view, proj, *, width, height, spp=16,
+           max_bounces=4, key=None, sample_batch=1, sort_bounces=False,
+           swizzle=None):
+    """Render (H, W, 3) linear HDR. Also returns rays-traced count.
+
+    ``swizzle`` (default: on when the sweep intersector is active,
+    ``SAILOR_TRACE_SWIZZLE=0`` to disable) must be resolved OUTSIDE the
+    jitted body: jit caches on static args, so an env read inside the
+    trace would make A/B flips silently reuse the other variant."""
+    if swizzle is None:
+        import os as _os
+
+        swizzle = (
+            scene.sweep is not None
+            and _os.environ.get("SAILOR_TRACE_SWIZZLE", "1") == "1"
+        )
+    return _render(scene, camera_pos, view, proj, width=width, height=height,
+                   spp=spp, max_bounces=max_bounces, key=key,
+                   sample_batch=sample_batch, sort_bounces=sort_bounces,
+                   swizzle=bool(swizzle))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_bounces", "sample_batch",
-                     "sort_bounces"),
+                     "sort_bounces", "swizzle"),
 )
-def render(
+def _render(
     scene: TraceScene,
     camera_pos,
     view,
@@ -574,6 +663,7 @@ def render(
     key=None,
     sample_batch: int = 1,
     sort_bounces: bool = False,
+    swizzle: bool = False,
 ):
     """Render (H, W, 3) linear HDR. Also returns rays-traced count.
 
@@ -587,7 +677,21 @@ def render(
     if spp % sample_batch != 0:
         raise ValueError(f"spp {spp} not divisible by sample_batch "
                          f"{sample_batch}")
-    r = width * height
+    import numpy as np
+
+    # Tile-swizzled ray order (see _swizzle_maps): every sweep ray block is
+    # a compact pixel supertile, not a scanline strip. Static permutation —
+    # the only runtime cost is one unswizzle gather at the very end.
+    if swizzle:
+        perm, inv, r = _swizzle_maps(
+            height, width, sweep_mod.RAY_BLOCK, sweep_mod.SUB
+        )
+    else:
+        r = width * height
+        perm = np.arange(r, dtype=np.int32)
+        inv = None
+    px = jnp.asarray(perm % width)
+    py = jnp.asarray(perm // width)
 
     # Per-pixel blue-noise camera jitter with a per-sample R2 rotation
     # (PathTracer.cpp:1004-1060 BlueNoiseData analog): neighbor pixels get
@@ -596,8 +700,8 @@ def render(
     from sailor_tpu.raytracing import bluenoise
 
     bn_u, bn_v = bluenoise.pixel_jitter(height, width)
-    bn_u = jnp.asarray(bn_u)
-    bn_v = jnp.asarray(bn_v)
+    bn_u = jnp.asarray(bn_u.reshape(-1)[perm])
+    bn_v = jnp.asarray(bn_v.reshape(-1)[perm])
 
     sb = sample_batch
 
@@ -607,8 +711,8 @@ def render(
         os_, ds_ = [], []
         for j in range(sb):
             ju, jv = bluenoise.rotate((bn_u, bn_v), sample_idx[j])
-            o, d = camera_rays(
-                camera_pos, view, proj, width, height, ju, jv
+            o, d = camera_rays_flat(
+                camera_pos, view, proj, width, height, px, py, ju, jv
             )
             os_.append(o)
             ds_.append(d)
@@ -631,14 +735,18 @@ def render(
         (jax.random.split(key, spp).reshape(spp // sb, sb, -1),
          jnp.arange(spp, dtype=jnp.float32).reshape(spp // sb, sb)),
     )
-    img = (acc / spp).reshape(height, width, 3)
+    acc = acc / spp
+    if swizzle:
+        acc = acc[jnp.asarray(inv)]
+    img = acc.reshape(height, width, 3)
     return img, rays
 
 
 def render_cached(scene, camera_pos, view, proj, *, width: int, height: int,
                   spp: int = 16, max_bounces: int = 4, key=None,
                   sample_batch: int | None = None,
-                  sort_bounces: bool | None = None):
+                  sort_bounces: bool | None = None,
+                  swizzle: bool | None = None):
     """``render`` resolved through the AOT executable cache: a warm
     process skips the tracer's Python trace + XLA compile entirely
     (assets/aot_cache.py; ShaderCache precompiled-binary analog)."""
@@ -652,8 +760,14 @@ def render_cached(scene, camera_pos, view, proj, *, width: int, height: int,
         sample_batch = int(os.environ.get("SAILOR_TRACE_SAMPLE_BATCH", "1"))
     if sort_bounces is None:
         sort_bounces = os.environ.get("SAILOR_TRACE_BOUNCE_SORT", "0") == "1"
+    if swizzle is None:
+        swizzle = (
+            scene.sweep is not None
+            and os.environ.get("SAILOR_TRACE_SWIZZLE", "1") == "1"
+        )
     kw = dict(width=width, height=height, spp=spp, max_bounces=max_bounces,
-              sample_batch=sample_batch, sort_bounces=sort_bounces)
+              sample_batch=sample_batch, sort_bounces=sort_bounces,
+              swizzle=bool(swizzle))
     if not aot_cache.enabled():
         return render(scene, camera_pos, view, proj, key=key, **kw)
 
@@ -663,7 +777,8 @@ def render_cached(scene, camera_pos, view, proj, *, width: int, height: int,
     compiled = aot_cache.load_or_compile(
         fn, (scene, camera_pos, view, proj, key),
         logical_key=f"tracer:{width}x{height}:spp{spp}:b{max_bounces}"
-                    f":sb{sample_batch}:srt{int(sort_bounces)}",
+                    f":sb{sample_batch}:srt{int(sort_bounces)}"
+                    f":sw{int(kw['swizzle'])}",
         label="tracer",
     )
     try:

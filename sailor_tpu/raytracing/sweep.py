@@ -182,9 +182,13 @@ def _sweep_kernel(sc_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
 
     def subbits(arr):
         # f32 bits of max over the sub-block rows (monotonic for the
-        # nonneg best-t values; dead rays' -1.0 maps to a negative int)
-        return jax.lax.bitcast_convert_type(
-            jnp.max(arr), jnp.int32
+        # nonneg best-t values; dead rays' -1.0 maps to a negative int).
+        # Bitcast BEFORE the reduce: Mosaic only lowers vector bitcasts
+        # (scalar f32->i32 fails verification on real TPU). Int max ==
+        # bits(float max) here because the only negative value is the
+        # exact -1.0 dead sentinel.
+        return jnp.max(
+            jax.lax.bitcast_convert_type(arr, jnp.int32)
         )
 
     @pl.when(c == 0)
