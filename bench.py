@@ -209,7 +209,7 @@ def bench_forward(width, height, num_lights, num_objects, frames,
             "max_lights_per_tile": 128,
             "pallas_shading": True,
             # A/B knob: fused visibility resolve (resolve_gbuffer_stream)
-            "fused_resolve": os.environ.get("SAILOR_FUSED_RESOLVE", "0") == "1",
+            "fused_resolve": os.environ.get("SAILOR_FUSED_RESOLVE", "1") == "1",
         },
     )
     import jax.numpy as jnp

@@ -228,7 +228,7 @@ class DepthPrepassNode(BaseNode):
         # buffer contributes its bin set (opaque here; masked peel below)
         # — a pixel's winner matches in exactly one, the rest add zeros.
         attrs = None
-        if (ctx.config.get("fused_resolve", False)
+        if (ctx.config.get("fused_resolve", True)
                 and ctx.config.get("raster_mode", "stream") == "stream"):
             attrs = interpolate.pack_triangle_attributes(
                 geo, tri.src_id, scene.materials
@@ -1025,7 +1025,7 @@ class RenderTransparentNode(BaseNode):
             mats.queue[geo.material_id[tri.src_id]] == 2
         )
         t_attrs = None
-        if (ctx.config.get("fused_resolve", False)
+        if (ctx.config.get("fused_resolve", True)
                 and ctx.config.get("raster_mode", "stream") == "stream"):
             # own attrs table: the two-sided setup has its own src_id map
             t_attrs = interpolate.pack_triangle_attributes(

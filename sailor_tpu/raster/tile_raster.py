@@ -260,11 +260,12 @@ def _raster_kernel_stream(sc_ref, rows_ref, big_ref, depth_ref, tid_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_y", "tiles_x", "chunk", "kmax")
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "chunk", "kmax", "mxu")
 )
 def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
                      n_big, *, tiles_y: int, tiles_x: int, z_bounds=None,
-                     chunk: int = 256, kmax: int = 16, prebuilt=None):
+                     chunk: int = 256, kmax: int = 16, prebuilt=None,
+                     mxu: bool = False):
     """Raster from bin_sorted's ragged bins with the streaming kernel.
 
     ``kmax`` bounds the per-tile segment to kmax*chunk candidates (the
@@ -355,6 +356,131 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
         ),
     )(*inputs)
     return depth, tid, overflow
+
+CHUNK_MXU = 128  # candidates per MXU test — one full lane tile
+
+
+def _test_chunk_mxu(s, pxy1, ox, oy, zlo_c, zhi_c):
+    """Edge/depth-test CHUNK_MXU candidates against the whole pixel tile
+    with the planes evaluated ON THE MXU.
+
+    Orientation is (pixels, candidates): ``pxy1`` is the (PX, 3) matrix of
+    TILE-LOCAL pixel coordinates [dx, dy, 1] and each linear plane
+    (3 edges, depth, 4 AABB half-planes, id broadcast) is one skinny
+    dot_general against a (CM, 3) coefficient block — the multiplies the
+    VPU paid per pixel per candidate (the bulk of the classic kernel)
+    ride the systolic array instead, and the candidate axis lands on the
+    128-lane dimension at full width.
+
+    Tile-local coordinates bound |dx| <= TILE_W so Precision.HIGH
+    (3-pass bf16 emulation) keeps the plane error ~2^-16 * 128 ~ 0.002 px
+    against the 0.05 px watertightness tolerance; the per-candidate
+    constant is re-centered as c_tile = a*ox + b*oy + c on the VPU
+    ((CM,)-sized, negligible).
+    """
+    eps = -0.05
+
+    def dotp(a, b, c):
+        m = jnp.stack([a, b, c], axis=1)  # (CM, 3)
+        return jax.lax.dot_general(
+            pxy1, m, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        )  # (PX, CM)
+
+    def plane(j):
+        a, b, c = s[:, 3 * j + 0], s[:, 3 * j + 1], s[:, 3 * j + 2]
+        return dotp(a, b, c + a * ox + b * oy)
+
+    e = jnp.minimum(jnp.minimum(plane(0), plane(1)), plane(2))
+    z = plane(3)  # zplane lives at cols 9:12
+    ones = jnp.ones_like(s[:, 0])
+    zer = jnp.zeros_like(s[:, 0])
+    # AABB as half-planes: px - xmin, xmax - px, py - ymin, ymax - py,
+    # all tested >= eps (identical to the clamp in _test_chunk)
+    e = jnp.minimum(e, dotp(ones, zer, ox - s[:, 12]))
+    e = jnp.minimum(e, dotp(-ones, zer, s[:, 13] - ox))
+    e = jnp.minimum(e, dotp(zer, ones, oy - s[:, 14]))
+    e = jnp.minimum(e, dotp(zer, -ones, s[:, 15] - oy))
+    idp = dotp(zer, zer, s[:, 16])  # float ids broadcast across pixels
+    ok = (e >= eps) & (idp >= 0.0) & (z > 0.0) & (z <= 1.0)
+    if zlo_c is not None:
+        ok &= (z > zlo_c) & (z < zhi_c)
+    return jnp.where(ok, z, -1.0), idp
+
+
+def _merge_chunk_mxu(carry, zm, idp):
+    bz, bid = carry  # (PX, 1) f32
+    k_z = jnp.max(zm, axis=1, keepdims=True)
+    k_id = jnp.max(jnp.where(zm == k_z, idp, -1.0), axis=1, keepdims=True)
+    take = k_z > bz
+    return jnp.where(take, k_z, bz), jnp.where(take, k_id, bid)
+
+
+def _raster_kernel_stream_mxu(sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
+                              zb_ref, ib_ref, *, ntx: int, ntiles: int,
+                              chunk: int, zlo_ref=None, zhi_ref=None):
+    """MXU variant of _raster_kernel_stream: same grid/windows, candidates
+    tested CHUNK_MXU at a time in the (pixels, candidates) orientation.
+    The running winner lives in (PX, 1) scratch across the k grid steps;
+    the (TILE_H, TILE_W) outputs are written once at the last step."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    k = pl.program_id(2)
+    t = ti * ntx + tj
+    spt = sc_ref[ntiles + t]
+    n_big = sc_ref[2 * ntiles]
+
+    PX = TILE_H * TILE_W
+    ox = (tj * TILE_W).astype(jnp.float32)
+    oy = (ti * TILE_H).astype(jnp.float32)
+    r = jax.lax.broadcasted_iota(jnp.int32, (PX, 3), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (PX, 3), 1)
+    dx = (r % TILE_W).astype(jnp.float32) + 0.5
+    dy = (r // TILE_W).astype(jnp.float32) + 0.5
+    pxy1 = jnp.where(c == 0, dx, jnp.where(c == 1, dy, 1.0))
+
+    if zlo_ref is not None:
+        zlo_c = zlo_ref[...].reshape(PX, 1)
+        zhi_c = zhi_ref[...].reshape(PX, 1)
+    else:
+        zlo_c = zhi_c = None
+
+    def test_sub(ref, base, carry):
+        s = ref[pl.ds(base, CHUNK_MXU), :]
+        zm, idp = _test_chunk_mxu(s, pxy1, ox, oy, zlo_c, zhi_c)
+        return _merge_chunk_mxu(carry, zm, idp)
+
+    @pl.when(k == 0)
+    def _():
+        best = (
+            jnp.zeros((PX, 1), jnp.float32),
+            jnp.full((PX, 1), -1.0, jnp.float32),
+        )
+        nb = (n_big + (CHUNK_MXU - 1)) // CHUNK_MXU
+        best = jax.lax.fori_loop(
+            0, nb, lambda b, cr: test_sub(big_ref, b * CHUNK_MXU, cr), best
+        )
+        zb_ref[...] = best[0]
+        ib_ref[...] = best[1]
+
+    @pl.when((k == 0) | (k < spt))
+    def _():
+        best = jax.lax.fori_loop(
+            0, chunk // CHUNK_MXU,
+            lambda b, cr: test_sub(rows_ref, b * CHUNK_MXU, cr),
+            (zb_ref[...], ib_ref[...]),
+        )
+        zb_ref[...] = best[0]
+        ib_ref[...] = best[1]
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        depth_ref[...] = zb_ref[...].reshape(TILE_H, TILE_W)
+        tid_ref[...] = (
+            ib_ref[...].reshape(TILE_H, TILE_W).astype(jnp.int32)
+        )
+
 
 def _raster_kernel_dma(sc_ref, rows_hbm, big_ref, depth_ref, tid_ref,
                        buf, sem, *, ntx: int, ntiles: int, dchunk: int,

@@ -116,7 +116,8 @@ def test_full_graph_fused_resolve_matches():
     asset = FrameGraphAsset.load("content/DefaultRenderer.renderer")
     scene = _scene_view()
 
-    fg_ref = FrameGraph(asset, FW, FH, config=dict(cfg))
+    fg_ref = FrameGraph(asset, FW, FH,
+                        config=dict(cfg, fused_resolve=False))
     state = fg_ref.initial_state()
     fg_ref.prepare(scene, state)
     t_ref, _ = fg_ref.process(scene, state)
@@ -183,7 +184,8 @@ def test_masked_scene_fused_resolve_matches():
         targets, _ = fg.process(scene, state)
         return targets
 
-    t_ref = run({"bin_capacity": 256, "bin_rounds": 2})
+    t_ref = run({"bin_capacity": 256, "bin_rounds": 2,
+                 "fused_resolve": False})
     t_new = run({"bin_capacity": 256, "bin_rounds": 2,
                  "fused_resolve": True})
     a = np.asarray(t_ref["Final"])
@@ -209,7 +211,8 @@ def test_transparent_scene_fused_resolve_matches():
         targets, _ = fg.process(scene, state)
         return targets
 
-    t_ref = run({"bin_capacity": 256, "bin_rounds": 2})
+    t_ref = run({"bin_capacity": 256, "bin_rounds": 2,
+                 "fused_resolve": False})
     t_new = run({"bin_capacity": 256, "bin_rounds": 2,
                  "fused_resolve": True})
     a = np.asarray(t_ref["Main"])

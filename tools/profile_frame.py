@@ -54,7 +54,7 @@ def main():
             "bin_capacity": 1024, "bin_rounds": 4, "max_lights_per_tile": 128,
             "pallas_shading": True,
             "fused_resolve": os.environ.get(
-                "SAILOR_FUSED_RESOLVE", "0") == "1",
+                "SAILOR_FUSED_RESOLVE", "1") == "1",
         },
     )
     state = fg.initial_state()
