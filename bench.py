@@ -210,6 +210,8 @@ def bench_forward(width, height, num_lights, num_objects, frames,
             "pallas_shading": True,
             # A/B knob: fused visibility resolve (resolve_gbuffer_stream)
             "fused_resolve": os.environ.get("SAILOR_FUSED_RESOLVE", "1") == "1",
+            # A/B knob: MXU plane-evaluation raster kernel
+            "raster_mxu": os.environ.get("SAILOR_RASTER_MXU", "0") == "1",
         },
     )
     import jax.numpy as jnp

@@ -126,6 +126,7 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
                 tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
                 z_bounds=z_bounds, chunk=chunk, kmax=kmax,
                 prebuilt=prebuilt,
+                mxu=bool(config.get("raster_mxu", False)),
             )
             return d, t
 

@@ -89,8 +89,13 @@ def _near_clip(clip_tri):
     idx_out = jnp.argmax(~inside, axis=-1)  # first outside vertex
     idx_in = jnp.argmax(inside, axis=-1)    # first inside vertex
     rot = jnp.where(n_in == 2, (idx_out + 1) % 3, jnp.where(n_in == 1, idx_in, 0))
-    perm = (rot[:, None] + jnp.arange(3)[None, :]) % 3  # (T, 3)
-    v = jnp.take_along_axis(clip_tri, perm[..., None], axis=1)  # rotated
+    # rot has only 3 values: rotate by static roll + 3-way select instead
+    # of take_along_axis (the (T, 3, 4) gather measured ~1.5 ms at 1080p;
+    # the dense selects are noise)
+    r1 = jnp.concatenate([clip_tri[:, 1:], clip_tri[:, :1]], axis=1)
+    r2 = jnp.concatenate([clip_tri[:, 2:], clip_tri[:, :2]], axis=1)
+    rc = rot[:, None, None]
+    v = jnp.where(rc == 0, clip_tri, jnp.where(rc == 1, r1, r2))  # rotated
     a, b, c = v[:, 0], v[:, 1], v[:, 2]
     wa, wb, wc = a[..., 3], b[..., 3], c[..., 3]
 

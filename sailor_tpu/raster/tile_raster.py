@@ -305,13 +305,20 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
     def pix_map(i, j, k, sc):
         return (i, j)
 
+    if mxu and bpad % CHUNK_MXU:
+        extra = CHUNK_MXU - bpad % CHUNK_MXU
+        dead = jnp.zeros((extra, ncols), big_rows.dtype).at[:, 16].set(-1.0)
+        big_rows = jnp.concatenate([big_rows, dead])
+        bpad = big_rows.shape[0]
+
     in_specs = [
         pl.BlockSpec((chunk, ncols), rows_map),
         pl.BlockSpec((bpad, ncols), lambda i, j, k, sc: (0, 0)),
     ]
     inputs = [sc, rows, big_rows]
+    base_kernel = _raster_kernel_stream_mxu if mxu else _raster_kernel_stream
     kernel = functools.partial(
-        _raster_kernel_stream, ntx=tiles_x, ntiles=ntiles, chunk=chunk
+        base_kernel, ntx=tiles_x, ntiles=ntiles, chunk=chunk
     )
     if z_bounds is not None:
         H, W = tiles_y * TILE_H, tiles_x * TILE_W
@@ -326,13 +333,23 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
         ]
         inputs += [zlo, zhi]
 
-        def kernel(sc_ref, rows_ref, big_ref, zlo_ref, zhi_ref,
-                   depth_ref, tid_ref):
-            return _raster_kernel_stream(
-                sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
-                ntx=tiles_x, ntiles=ntiles, chunk=chunk,
-                zlo_ref=zlo_ref, zhi_ref=zhi_ref,
-            )
+        if mxu:
+            def kernel(sc_ref, rows_ref, big_ref, zlo_ref, zhi_ref,
+                       depth_ref, tid_ref, zb_ref, ib_ref):
+                return _raster_kernel_stream_mxu(
+                    sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
+                    zb_ref, ib_ref,
+                    ntx=tiles_x, ntiles=ntiles, chunk=chunk,
+                    zlo_ref=zlo_ref, zhi_ref=zhi_ref,
+                )
+        else:
+            def kernel(sc_ref, rows_ref, big_ref, zlo_ref, zhi_ref,
+                       depth_ref, tid_ref):
+                return _raster_kernel_stream(
+                    sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
+                    ntx=tiles_x, ntiles=ntiles, chunk=chunk,
+                    zlo_ref=zlo_ref, zhi_ref=zhi_ref,
+                )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -341,6 +358,13 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
         out_specs=(
             pl.BlockSpec((TILE_H, TILE_W), pix_map),
             pl.BlockSpec((TILE_H, TILE_W), pix_map),
+        ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((TILE_H * TILE_W, 1), jnp.float32),
+                pltpu.VMEM((TILE_H * TILE_W, 1), jnp.float32),
+            ]
+            if mxu else []
         ),
     )
     depth, tid = common.pallas_call(
@@ -372,8 +396,9 @@ def _test_chunk_mxu(s, pxy1, ox, oy, zlo_c, zhi_c):
     ride the systolic array instead, and the candidate axis lands on the
     128-lane dimension at full width.
 
-    Tile-local coordinates bound |dx| <= TILE_W so Precision.HIGH
-    (3-pass bf16 emulation) keeps the plane error ~2^-16 * 128 ~ 0.002 px
+    Tile-local coordinates bound |dx| <= TILE_W and the dots run at
+    Precision.HIGHEST (f32-exact bf16 emulation — Mosaic supports only
+    DEFAULT/HIGHEST), so plane values match the VPU path to f32 rounding
     against the 0.05 px watertightness tolerance; the per-candidate
     constant is re-centered as c_tile = a*ox + b*oy + c on the VPU
     ((CM,)-sized, negligible).
@@ -384,7 +409,7 @@ def _test_chunk_mxu(s, pxy1, ox, oy, zlo_c, zhi_c):
         m = jnp.stack([a, b, c], axis=1)  # (CM, 3)
         return jax.lax.dot_general(
             pxy1, m, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (PX, CM)
 
