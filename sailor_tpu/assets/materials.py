@@ -33,7 +33,7 @@ class MaterialTable:
     emissive: jnp.ndarray        # (M, 3)
     albedo_texture: jnp.ndarray  # (M,) int32 layer or -1
     normal_texture: jnp.ndarray  # (M,) int32 layer or -1 (tangent-space map)
-    textures: jnp.ndarray        # (N, S, S, 4) stacked linear RGBA
+    textures: jnp.ndarray        # (N, S, S, 4) stacked linear RGBA (mip 0)
     # Render state (Types.h:524-580 RenderState / .mat renderQueue):
     queue: jnp.ndarray           # (M,) int32 0=Opaque 1=Masked 2=Transparent
     alpha_cutoff: jnp.ndarray    # (M,) float alpha-test threshold (Masked)
@@ -43,19 +43,42 @@ class MaterialTable:
     # (RenderSceneNode.cpp:34-104 returning early on empty batches).
     has_masked: bool = struct.field(pytree_node=False, default=False)
     has_transparent: bool = struct.field(pytree_node=False, default=False)
+    # Runtime mip/LOD sampling + per-texture sampler meta, the consumer
+    # side of TextureImporter.cpp:247's import-time mip chains and
+    # TextureAssetInfo.cpp:24-49's clamping/filtration settings. The mip
+    # pyramid is ONE flat (N * texels_per_layer, 4) buffer; every texture
+    # shares the (power-of-two) level size list, so addressing needs only
+    # the static ``mip_sizes``/offset arithmetic.
+    tex_lod: jnp.ndarray | None = None    # (N * TPL, 4) packed mips 0..L-1
+    tex_wrap: jnp.ndarray | None = None   # (N,) int32 0=repeat 1=clamp
+    tex_filter: jnp.ndarray | None = None  # (N,) int32 0=bilinear 1=nearest
+    mip_sizes: tuple = struct.field(pytree_node=False, default=())
 
-    def sample_normal(self, mat_id, uv):
+    @property
+    def has_mips(self) -> bool:
+        return self.tex_lod is not None and len(self.mip_sizes) > 1
+
+    def sample_normal(self, mat_id, uv, lod=None):
         """Tangent-space normal from the material's normal map; returns
         ((..., 3) normal in [-1,1], (...,) has_map mask)."""
         layer = self.normal_texture[mat_id]
         if self.textures.shape[0] == 0:
             z = jnp.zeros(mat_id.shape + (3,))
             return z.at[..., 2].set(1.0), jnp.zeros(mat_id.shape, bool)
-        tex = _sample_texture_stack(self.textures, layer, uv)
+        tex = self.sample_texture(layer, uv, lod)
         n = tex[..., :3] * 2.0 - 1.0
         return n, layer >= 0
 
-    def sample(self, mat_id, uv):
+    def sample_texture(self, layer, uv, lod=None):
+        """Sample the texture stack: trilinear mip when a mip stack and a
+        per-pixel ``lod`` are available, bilinear mip0 otherwise."""
+        if lod is not None and self.has_mips:
+            return sample_texture_lod(self, layer, uv, lod)
+        return _sample_texture_stack(self.textures, layer, uv,
+                                     wrap=self.tex_wrap,
+                                     filt=self.tex_filter)
+
+    def sample(self, mat_id, uv, lod=None):
         """Per-pixel material fetch (mat_id (H, W), uv (H, W, 2)).
 
         Returns (albedo_rgba, metallic, roughness, emissive)."""
@@ -65,7 +88,7 @@ class MaterialTable:
         emis = self.emissive[mat_id]
         layer = self.albedo_texture[mat_id]             # (H, W)
         if self.textures.shape[0] > 0:
-            tex = _sample_texture_stack(self.textures, layer, uv)
+            tex = self.sample_texture(layer, uv, lod)
             alb = alb * jnp.where((layer >= 0)[..., None], tex[..., :3], 1.0)
             alpha = jnp.where(layer >= 0, tex[..., 3], 1.0)
         else:
@@ -77,7 +100,8 @@ class MaterialTable:
 
     @classmethod
     def from_host(cls, table: dict, images: list | None = None,
-                  texture_size: int = 256) -> "MaterialTable":
+                  texture_size: int = 256, sampler_meta: list | None = None,
+                  mips: bool = True) -> "MaterialTable":
         textures = stack_textures(images or [], texture_size)
         m = len(table["albedo"])
         queues = table.get("queue", np.zeros(m, np.int32))
@@ -85,7 +109,22 @@ class MaterialTable:
             [_QUEUE_NAMES.get(q, q) if isinstance(q, str) else q for q in queues],
             np.int32,
         )
+        n_tex = textures.shape[0]
+        tex_lod = mip_sizes = None
+        if mips and n_tex:
+            tex_lod, mip_sizes = build_mip_stack(np.asarray(textures))
+        wrap = np.zeros(n_tex, np.int32)
+        filt = np.zeros(n_tex, np.int32)
+        for i, meta in enumerate(sampler_meta or []):
+            if i >= n_tex or not meta:
+                continue
+            wrap[i] = 1 if str(meta.get("clamping", "Repeat")).lower() == "clamp" else 0
+            filt[i] = 1 if str(meta.get("filtration", "Bilinear")).lower() == "nearest" else 0
         return cls(
+            tex_lod=tex_lod,
+            tex_wrap=jnp.asarray(wrap) if n_tex else None,
+            tex_filter=jnp.asarray(filt) if n_tex else None,
+            mip_sizes=tuple(mip_sizes or ()),
             albedo=jnp.asarray(table["albedo"]),
             metallic=jnp.asarray(table["metallic"]),
             roughness=jnp.asarray(table["roughness"]),
@@ -123,8 +162,12 @@ def stack_textures(images: list, size: int) -> jnp.ndarray:
     return jnp.asarray(np.stack(out), jnp.float32)
 
 
-def _sample_texture_stack(stack, layer, uv):
-    """Bilinear sample from (N, S, S, 4) with per-pixel layer index."""
+def _sample_texture_stack(stack, layer, uv, wrap=None, filt=None):
+    """Bilinear sample from (N, S, S, 4) with per-pixel layer index.
+
+    ``wrap``/``filt``: optional (N,) int32 sampler meta — 1 = clamp-to-edge
+    instead of repeat / nearest instead of bilinear (TextureAssetInfo.cpp
+    clamping/filtration consumed at runtime)."""
     n, s = stack.shape[0], stack.shape[1]
     safe = jnp.clip(layer, 0, n - 1)
     fx = uv[..., 0] * s - 0.5
@@ -133,15 +176,24 @@ def _sample_texture_stack(stack, layer, uv):
     y0 = jnp.floor(fy).astype(jnp.int32)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
+    if filt is not None:
+        # nearest = bilinear with weights snapped (no extra gathers)
+        nearest = (filt[safe] == 1)[..., None]
+        tx = jnp.where(nearest, jnp.round(tx), tx)
+        ty = jnp.where(nearest, jnp.round(ty), ty)
+    clamp_m = None if wrap is None else (wrap[safe] == 1)
 
-    def wrap(i):
-        return jnp.remainder(i, s)
+    def addr(i):
+        rep = jnp.remainder(i, s)
+        if clamp_m is None:
+            return rep
+        return jnp.where(clamp_m, jnp.clip(i, 0, s - 1), rep)
 
     flat = stack.reshape(-1, stack.shape[-1])
 
     def fetch(yy, xx):
         # flat 1-D gather (multi-index gathers hit a slow TPU path)
-        return flat[(safe * s + wrap(yy)) * s + wrap(xx)]
+        return flat[(safe * s + addr(yy)) * s + addr(xx)]
 
     c00 = fetch(y0, x0)
     c10 = fetch(y0, x0 + 1)
@@ -150,6 +202,104 @@ def _sample_texture_stack(stack, layer, uv):
     top = c00 + (c10 - c00) * tx
     bot = c01 + (c11 - c01) * tx
     return top + (bot - top) * ty
+
+
+MIN_MIP = 4  # coarsest mip edge; 4x4 bounds the level count and keeps
+             # the wrap arithmetic off the degenerate 1-texel case
+
+
+def build_mip_stack(stack: np.ndarray):
+    """Pack a box-filtered mip pyramid of every layer into ONE flat
+    (N * TPL, 4) buffer (TextureImporter.cpp:247's import-time chain).
+
+    Level l of layer i lives at rows [i * TPL + off_l, ...), row-major
+    s_l x s_l; all layers share the power-of-two size list, so offsets
+    are static. Returns (flat jnp array, sizes tuple)."""
+    n, s = stack.shape[0], stack.shape[1]
+    sizes = []
+    cur = s
+    while cur >= MIN_MIP:
+        sizes.append(cur)
+        if cur == MIN_MIP:
+            break
+        cur //= 2
+    per_layer = []
+    for i in range(n):
+        img = stack[i]
+        rows = [img.reshape(-1, img.shape[-1])]
+        cur = img
+        for _ in sizes[1:]:
+            h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+            cur = cur.reshape(h2, 2, w2, 2, -1).mean(axis=(1, 3))
+            rows.append(cur.reshape(-1, cur.shape[-1]))
+        per_layer.append(np.concatenate(rows, axis=0))
+    flat = np.concatenate(per_layer, axis=0).astype(np.float32)
+    return jnp.asarray(flat), tuple(sizes)
+
+
+def sample_texture_lod(mat: "MaterialTable", layer, uv, lod):
+    """Trilinear mip sample from the packed mip stack.
+
+    ``lod`` (H, W): fractional mip level (0 = full res). Two bilinear
+    fetches at floor/ceil level + lerp; at high minification the gathers
+    land in a tiny mip whose rows stay cached, so this is FASTER than
+    mip-0 bilinear despite 8 gathers vs 4 (HBM locality, not count, is
+    the limit for repeated-texture scenes)."""
+    sizes = mat.mip_sizes
+    nlev = len(sizes)
+    offs = []
+    acc = 0
+    for s in sizes:
+        offs.append(acc)
+        acc += s * s
+    tpl = acc
+    n = mat.textures.shape[0]
+    safe = jnp.clip(layer, 0, n - 1)
+    base = safe * tpl
+    lod = jnp.clip(lod, 0.0, nlev - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    lf = (lod - l0)[..., None]
+    sizes_a = jnp.asarray(sizes, jnp.int32)
+    offs_a = jnp.asarray(offs, jnp.int32)
+    clamp_m = None if mat.tex_wrap is None else (mat.tex_wrap[safe] == 1)
+    nearest = (None if mat.tex_filter is None
+               else (mat.tex_filter[safe] == 1)[..., None])
+    flat = mat.tex_lod
+
+    def bilinear(lvl):
+        s = sizes_a[lvl]
+        off = base + offs_a[lvl]
+        sf = s.astype(jnp.float32)
+        fx = uv[..., 0] * sf - 0.5
+        fy = uv[..., 1] * sf - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        tx = (fx - x0)[..., None]
+        ty = (fy - y0)[..., None]
+        if nearest is not None:
+            tx = jnp.where(nearest, jnp.round(tx), tx)
+            ty = jnp.where(nearest, jnp.round(ty), ty)
+
+        def addr(i):
+            rep = jnp.remainder(i, s)
+            if clamp_m is None:
+                return rep
+            return jnp.where(clamp_m, jnp.clip(i, 0, s - 1), rep)
+
+        def fetch(yy, xx):
+            return flat[off + addr(yy) * s + addr(xx)]
+
+        c00 = fetch(y0, x0)
+        c10 = fetch(y0, x0 + 1)
+        c01 = fetch(y0 + 1, x0)
+        c11 = fetch(y0 + 1, x0 + 1)
+        top = c00 + (c10 - c00) * tx
+        bot = c01 + (c11 - c01) * tx
+        return top + (bot - top) * ty
+
+    lo = bilinear(l0)
+    hi = bilinear(jnp.minimum(l0 + 1, nlev - 1))
+    return lo + (hi - lo) * lf
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,28 @@ def pixel_rays_strided(inv_view_projection, camera_position, height: int,
     return _unproject_rays(inv_view_projection, camera_position, u, v)
 
 
+def uv_screen_lod(uv, base_size: int):
+    """Per-pixel mip level from screen-space UV finite differences.
+
+    The hardware-sampler analog (quad derivatives) for the visibility
+    buffer: forward-difference the resolved (H, W, 2) uv map, wrap-fold
+    each delta to [-0.5, 0.5) so repeat seams (0.99 -> 0.01) don't blow
+    the footprint, and take log2 of the larger axis footprint in texels.
+    Triangle boundaries get neighbor-triangle deltas — same artifact
+    class as hardware 2x2 quads; the clip in the sampler bounds it.
+    """
+    def fold(d):
+        return d - jnp.round(d)
+
+    dx = fold(jnp.diff(uv, axis=1, append=uv[:, -1:] * 2 - uv[:, -2:-1]))
+    dy = fold(jnp.diff(uv, axis=0, append=uv[-1:] * 2 - uv[-2:-1]))
+    rho = jnp.maximum(
+        dx[..., 0] ** 2 + dx[..., 1] ** 2,
+        dy[..., 0] ** 2 + dy[..., 1] ** 2,
+    ) * (base_size * base_size)
+    return 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
+
+
 @functools.partial(jax.jit, static_argnums=(7,))
 def resolve_alpha(
     geometry,
@@ -160,7 +182,9 @@ def resolve_alpha(
     v = jnp.clip(v, 0.0, 1.0 - u)
     uv = px[..., 18:20] + px[..., 20:22] * u + px[..., 22:24] * v
     mat_id = px[..., 36].astype(jnp.int32)
-    albedo, _, _, _ = materials.sample(mat_id, uv)
+    lod = (uv_screen_lod(uv, materials.textures.shape[1])
+           if materials.has_mips else None)
+    albedo, _, _, _ = materials.sample(mat_id, uv, lod)
     # vertex-color alpha modulates too (color columns 24:28 etc.)
     ca = px[..., 27] + px[..., 31] * u[..., 0] + px[..., 35] * v[..., 0]
     return albedo[..., 3] * ca, materials.alpha_cutoff[mat_id]
@@ -213,15 +237,15 @@ def resolve_gbuffer(
         # Material columns ride in the packed triangle row (constant per
         # triangle) — no per-pixel MaterialTable gathers. Only the
         # uv-dependent texture fetches stay per-pixel.
-        from sailor_tpu.assets.materials import _sample_texture_stack
-
         alb = px[..., 37:40]
         metallic = px[..., 40]
         roughness = px[..., 41]
         emissive = px[..., 42:45]
+        lod = (uv_screen_lod(uv, materials.textures.shape[1])
+               if materials.has_mips else None)
         if materials.textures.shape[0] > 0:
             a_layer = px[..., 45].astype(jnp.int32)
-            tex = _sample_texture_stack(materials.textures, a_layer, uv)
+            tex = materials.sample_texture(a_layer, uv, lod)
             alb = alb * jnp.where((a_layer >= 0)[..., None], tex[..., :3], 1.0)
             alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
         else:
@@ -233,7 +257,7 @@ def resolve_gbuffer(
             # positions and UVs — no stored tangents needed with a
             # visibility buffer (the packed row carries all three verts).
             n_layer = px[..., 46].astype(jnp.int32)
-            ntex = _sample_texture_stack(materials.textures, n_layer, uv)
+            ntex = materials.sample_texture(n_layer, uv, lod)
             n_ts = ntex[..., :3] * 2.0 - 1.0
             has_map = n_layer >= 0
             duv1 = px[..., 20:22]
@@ -331,15 +355,15 @@ def resolve_gbuffer_stream(
     mat_id = planes[12].astype(jnp.int32)
 
     if materials is not None:
-        from sailor_tpu.assets.materials import _sample_texture_stack
-
         alb = jnp.stack(planes[13:16], axis=-1)
         metallic = planes[16]
         roughness = planes[17]
         emissive = jnp.stack(planes[18:21], axis=-1)
+        lod = (uv_screen_lod(uv, materials.textures.shape[1])
+               if materials.has_mips else None)
         if materials.textures.shape[0] > 0:
             a_layer = planes[21].astype(jnp.int32)
-            tex = _sample_texture_stack(materials.textures, a_layer, uv)
+            tex = materials.sample_texture(a_layer, uv, lod)
             alb = alb * jnp.where((a_layer >= 0)[..., None], tex[..., :3], 1.0)
             alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
         else:
@@ -347,7 +371,7 @@ def resolve_gbuffer_stream(
         albedo = jnp.concatenate([alb, alpha[..., None]], axis=-1) * color
         if materials.textures.shape[0] > 0:
             n_layer = planes[22].astype(jnp.int32)
-            ntex = _sample_texture_stack(materials.textures, n_layer, uv)
+            ntex = materials.sample_texture(n_layer, uv, lod)
             n_ts = ntex[..., :3] * 2.0 - 1.0
             has_map = n_layer >= 0
             denom = planes[26]
@@ -411,7 +435,6 @@ def resolve_alpha_stream(
     """resolve_alpha without the per-layer (H*W)-row gather: the fused
     kernel expands uv / vertex-color alpha / texture layer / cutoff from
     the MASKED queue's bin windows. Returns (alpha (H, W), cutoff)."""
-    from sailor_tpu.assets.materials import _sample_texture_stack
     from sailor_tpu.raster import tile_raster
 
     H, W = tri_id.shape
@@ -431,7 +454,9 @@ def resolve_alpha_stream(
     cutoff = planes[27]
     if materials.textures.shape[0] > 0:
         a_layer = planes[21].astype(jnp.int32)
-        tex = _sample_texture_stack(materials.textures, a_layer, uv)
+        lod = (uv_screen_lod(uv, materials.textures.shape[1])
+               if materials.has_mips else None)
+        tex = materials.sample_texture(a_layer, uv, lod)
         alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
     else:
         alpha = jnp.ones_like(color_a)

@@ -609,29 +609,25 @@ def rasterize_dma(setup, screen_aabb, order, starts, counts, big_ids,
     interface parity with rasterize_stream.
     """
     ab = jnp.stack(screen_aabb, axis=1)
+    r_rows = setup.zplane.shape[0]
+    idcol = jnp.arange(r_rows, dtype=jnp.float32)[:, None]
     table = jnp.concatenate(
-        [setup.edge.reshape(-1, 9), setup.zplane, ab], axis=1
-    )  # (R, 16)
+        [setup.edge.reshape(-1, 9), setup.zplane, ab, idcol], axis=1
+    )  # (R, 17) — id baked in; dead slots hit the sentinel row below
+    table = jnp.concatenate(
+        [table, jnp.zeros((1, 17), jnp.float32).at[0, 16].set(-1.0)]
+    )
 
-    def packed_rows(idx):
-        live = idx >= 0
-        r = table[jnp.maximum(idx, 0)]
-        idf = jnp.where(live, idx, -1).astype(jnp.float32)[:, None]
-        return jnp.concatenate([r, idf], axis=1)  # (N, 17)
+    def packed_rows(idx, pad_to):
+        idx = jnp.concatenate(
+            [idx, jnp.full((pad_to - idx.shape[0],), -1, idx.dtype)]
+        ) if pad_to > idx.shape[0] else idx
+        return table[jnp.where(idx >= 0, idx, r_rows)]
 
-    rows = packed_rows(order)
-    n = rows.shape[0]
-    npad = common.round_up(n, dchunk) + dchunk
-    dead = jnp.zeros((npad - n, 17), jnp.float32).at[:, 16].set(-1.0)
-    rows = jnp.concatenate([rows, dead])
-
+    n = order.shape[0]
+    rows = packed_rows(order, common.round_up(n, dchunk) + dchunk)
     bpad = max(common.round_up(big_ids.shape[0], CHUNK), CHUNK)
-    big_rows = packed_rows(big_ids)
-    if bpad != big_rows.shape[0]:
-        bdead = jnp.zeros(
-            (bpad - big_rows.shape[0], 17), jnp.float32
-        ).at[:, 16].set(-1.0)
-        big_rows = jnp.concatenate([big_rows, bdead])
+    big_rows = packed_rows(big_ids, bpad)
 
     ntiles = tiles_y * tiles_x
     starts = starts.astype(jnp.int32)
@@ -822,40 +818,33 @@ def build_stream_rows(setup, screen_aabb, order, big_ids, attrs=None,
 
     Returns (rows, big_rows, n_attr_cols)."""
     ab = jnp.stack(screen_aabb, axis=1)
-    cols = [setup.edge.reshape(-1, 9), setup.zplane, ab]
-    table = jnp.concatenate(cols, axis=1)  # (R, 16)
+    r_rows = setup.zplane.shape[0]
+    # The id column IS the table row index (order entries index this
+    # table), so it can be baked in BEFORE the order gather; dead slots
+    # (idx < 0, incl. padding) redirect to ONE sentinel row appended at
+    # index R (zeros, id -1). This makes packing a single fused gather —
+    # the previous post-gather id write (dynamic-update-slice over the
+    # ~86 MB row table) and live/dead select were ~1.5 ms/frame at 1080p.
+    idcol = jnp.arange(r_rows, dtype=jnp.float32)[:, None]
+    cols = [setup.edge.reshape(-1, 9), setup.zplane, ab, idcol]
     if attrs is not None:
-        table = jnp.concatenate([table, jnp.zeros_like(table[:, :1]), attrs],
-                                axis=1)
-        # (R, 17 + A); col 16 overwritten with the id below
-
+        cols.append(attrs)
+    table = jnp.concatenate(cols, axis=1)  # (R, 17 + A)
     na = 0 if attrs is None else attrs.shape[1]
     tot = 17 + na
+    dead_row = jnp.zeros((1, tot), jnp.float32).at[0, 16].set(-1.0)
+    table = jnp.concatenate([table, dead_row])
 
-    def packed_rows(idx):
-        live = idx >= 0
-        r = table[jnp.maximum(idx, 0)]
-        idf = jnp.where(live, idx, -1).astype(jnp.float32)
-        if attrs is None:
-            r = jnp.concatenate([r, idf[:, None]], axis=1)
-        else:
-            r = r.at[:, 16].set(idf)
-        return jnp.where(live[:, None], r,
-                         jnp.zeros((1, tot)).at[0, 16].set(-1.0))
+    def packed_rows(idx, pad_to):
+        idx = jnp.concatenate(
+            [idx, jnp.full((pad_to - idx.shape[0],), -1, idx.dtype)]
+        ) if pad_to > idx.shape[0] else idx
+        return table[jnp.where(idx >= 0, idx, r_rows)]
 
-    rows = packed_rows(order)
-    n = rows.shape[0]
-    npad = common.round_up(n, chunk) + chunk
-    dead = jnp.zeros((npad - n, tot), jnp.float32).at[:, 16].set(-1.0)
-    rows = jnp.concatenate([rows, dead])
-
+    n = order.shape[0]
+    rows = packed_rows(order, common.round_up(n, chunk) + chunk)
     bpad = max(common.round_up(big_ids.shape[0], CHUNK), CHUNK)
-    big_rows = packed_rows(big_ids)
-    if bpad != big_rows.shape[0]:
-        bdead = jnp.zeros(
-            (bpad - big_rows.shape[0], tot), jnp.float32
-        ).at[:, 16].set(-1.0)
-        big_rows = jnp.concatenate([big_rows, bdead])
+    big_rows = packed_rows(big_ids, bpad)
     return rows, big_rows, na
 
 
