@@ -82,6 +82,11 @@ class TraceScene:
     has_normal_maps: bool = struct.field(pytree_node=False, default=False)
     has_orm_maps: bool = struct.field(pytree_node=False, default=False)
     has_emissive_maps: bool = struct.field(pytree_node=False, default=False)
+    # Packed mip pyramid for ray-cone texture LOD at hit points (the
+    # tracer-side consumer of TextureImporter.cpp:247's chains; cone
+    # width tracked per ray, per-tri texel density in tri_pack col 39):
+    tex_lod: jnp.ndarray | None = None    # (N * TPL, 4) flat mips
+    mip_sizes: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_triangles(self) -> int:
@@ -252,12 +257,17 @@ def camera_rays(camera_pos, view, proj, width, height, u_jitter, v_jitter):
     return o.reshape(-1, 3), d.reshape(-1, 3)
 
 
-def _shade_hit(scene, res, origin, direction):
+def _shade_hit(scene, res, origin, direction, cone_width=None):
     """Gather hit-point attributes: position, shading normal, material.
 
     Returns (pos, n_faceforward, entering, mat dict). ``entering`` is True
     where the ray crosses from outside into the surface (interpolated
     normal against the ray) — drives the refraction eta and medium state.
+
+    ``cone_width``: optional (R,) ray-cone footprint at the hit (world
+    units) — selects the texture mip level via the per-triangle texel
+    density packed at col 39 (isotropic ray-cone LOD; the tracer analog
+    of the raster path's screen-derivative LOD).
     """
     tri = jnp.maximum(res["tri"], 0)
     u = res["u"][:, None]
@@ -275,13 +285,31 @@ def _shade_hit(scene, res, origin, direction):
     roughness = row[:, 13]
     emissive = row[:, 14:17]
     if scene.has_textures:
-        from sailor_tpu.assets.materials import _sample_texture_stack
+        from sailor_tpu.assets.materials import (
+            _sample_texture_stack, sample_texture_lod,
+        )
 
         uvp = (
             row[:, 25:27] * w0 + row[:, 27:29] * u + row[:, 29:31] * v
         )
+        if cone_width is not None and scene.tex_lod is not None \
+                and len(scene.mip_sizes) > 1:
+            s0 = scene.mip_sizes[0]
+            cosr = jnp.maximum(jnp.abs(m3.dot(n, direction)), 0.08)
+            lod = (jnp.log2(s0 * jnp.maximum(cone_width, 1e-8) / cosr)
+                   + row[:, 39])
+
+            def sample_tex(layer, uvp):
+                return sample_texture_lod(
+                    scene.tex_lod, scene.textures.shape[0],
+                    scene.mip_sizes, layer, uvp, lod,
+                )
+        else:
+            def sample_tex(layer, uvp):
+                return _sample_texture_stack(scene.textures, layer, uvp)
+
         layer = row[:, 31].astype(jnp.int32)
-        tex = _sample_texture_stack(scene.textures, layer, uvp)
+        tex = sample_tex(layer, uvp)
         albedo = albedo * jnp.where((layer >= 0)[:, None], tex[..., :3], 1.0)
         if scene.has_normal_maps:
             # Tangent-space normal map about the face-forward shading
@@ -289,7 +317,7 @@ def _shade_hit(scene, res, origin, direction):
             # packed uv-aligned face tangent against the interpolated n,
             # bitangent from the packed handedness sign.
             nl = row[:, 36].astype(jnp.int32)
-            ntex = _sample_texture_stack(scene.textures, nl, uvp)
+            ntex = sample_tex(nl, uvp)
             n_ts = ntex[..., :3] * 2.0 - 1.0
             t = row[:, 32:35]
             t = m3.normalize(t - n * m3.dot(n, t, keepdims=True))
@@ -304,13 +332,13 @@ def _shade_hit(scene, res, origin, direction):
             # R/occlusion channel is ignored: path tracing computes
             # indirect visibility exactly, baked AO would double-darken.
             ol = row[:, 37].astype(jnp.int32)
-            otex = _sample_texture_stack(scene.textures, ol, uvp)
+            otex = sample_tex(ol, uvp)
             has_o = ol >= 0
             roughness = jnp.where(has_o, roughness * otex[..., 1], roughness)
             metallic = jnp.where(has_o, metallic * otex[..., 2], metallic)
         if scene.has_emissive_maps:
             el = row[:, 38].astype(jnp.int32)
-            etex = _sample_texture_stack(scene.textures, el, uvp)
+            etex = sample_tex(el, uvp)
             emissive = jnp.where(
                 (el >= 0)[:, None], emissive * etex[..., :3], emissive
             )
@@ -361,7 +389,7 @@ def _bounce_sort_key(scene, origin, direction, live):
 
 
 def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count,
-                      sort_bounces: bool = False):
+                      sort_bounces: bool = False, cone_spread=None):
     """Trace one radiance sample for a fixed set of primary rays.
 
     Shared by render() (jittered camera rays per spp) and trace_rays()
@@ -379,11 +407,19 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count,
     sort then serves both the next bounce's closest-hit and its shadow
     any-hit — unlike sweep.intersect's internal sort_rays which pays per
     dispatch. Radiance rides permuted and is restored once at the end.
+
+    ``cone_spread``: per-pixel angular footprint (scalar or (R,)) for
+    isotropic ray-cone texture LOD — the cone width at a hit is the total
+    path distance times this spread (Ray Cones, constant-spread variant).
     """
     r = origin.shape[0]
     radiance = jnp.zeros((r, 3))
     throughput = jnp.ones((r, 3))
     live = jnp.ones((r,), bool)
+    use_cone = (cone_spread is not None and scene.tex_lod is not None
+                and len(scene.mip_sizes) > 1)
+    if use_cone:
+        dist = jnp.zeros((r,))
     sort_bounces = sort_bounces and scene.sweep is not None
     if sort_bounces:
         orig_idx = jnp.arange(r, dtype=jnp.int32)
@@ -433,7 +469,13 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count,
         )
         live = live & (res["hit"] | scattered)
 
-        pos, n, entering, mat = _shade_hit(scene, res, origin, direction)
+        cone_w = None
+        if use_cone:
+            hit_dist = dist + jnp.clip(res["t"], 0.0, 1e8)
+            cone_w = hit_dist * cone_spread
+
+        pos, n, entering, mat = _shade_hit(scene, res, origin, direction,
+                                           cone_width=cone_w)
         wo = -direction
 
         radiance = radiance + jnp.where(
@@ -558,6 +600,12 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count,
         origin = jnp.where(scattered[:, None], origin, new_origin)
         direction = jnp.where(scattered[:, None], direction, new_dir)
         throughput = jnp.where(scattered[:, None], throughput, new_tp)
+        if use_cone:
+            # accumulate path length: surface hits advance to the hit,
+            # volume scatters advance by the sampled free-flight distance
+            dist = jnp.where(hit, hit_dist, dist)
+            if volumes:
+                dist = jnp.where(scattered, dist + t_sc, dist)
 
         if sort_bounces and bounce < max_bounces - 1:
             # permute the WHOLE wavefront for the next bounce: one sort
@@ -570,9 +618,13 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count,
                     live, orig_idx]
             if volumes:
                 cols += [med_absorb, med_scatter, med_g, in_medium]
+            if use_cone:
+                cols.append(dist)
             cols = [c[perm] for c in cols]
             origin, direction, throughput, radiance, live, orig_idx = \
                 cols[:6]
+            if use_cone:
+                dist = cols.pop()
             if volumes:
                 med_absorb, med_scatter, med_g, in_medium = cols[6:]
 
@@ -600,10 +652,13 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count,
     jax.jit, static_argnames=("spp", "max_bounces", "sort_bounces")
 )
 def trace_rays(scene, origin, direction, *, spp: int = 4,
-               max_bounces: int = 3, key=None, sort_bounces: bool = False):
+               max_bounces: int = 3, key=None, sort_bounces: bool = False,
+               cone_spread=None):
     """Trace given primary rays; average spp independent samples.
 
-    Returns ((R, 3) radiance, rays traced)."""
+    ``cone_spread``: optional per-ray angular footprint enabling ray-cone
+    texture LOD (see _trace_one_sample). Returns ((R, 3) radiance,
+    rays traced)."""
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -612,7 +667,7 @@ def trace_rays(scene, origin, direction, *, spp: int = 4,
         keys = jax.random.split(k, 5 * max_bounces)
         rad, rays = _trace_one_sample(
             scene, origin, direction, keys, max_bounces, rays,
-            sort_bounces=sort_bounces,
+            sort_bounces=sort_bounces, cone_spread=cone_spread,
         )
         return (acc + rad, rays), None
 
@@ -703,6 +758,12 @@ def _render(
     bn_u = jnp.asarray(bn_u.reshape(-1)[perm])
     bn_v = jnp.asarray(bn_v.reshape(-1)[perm])
 
+    # Pixel angular footprint for ray-cone texture LOD: the vertical FOV
+    # spans ``height`` pixels, proj[1,1] = 1/tan(fov_y/2).
+    cone_spread = None
+    if scene.tex_lod is not None and len(scene.mip_sizes) > 1:
+        cone_spread = 2.0 / (height * proj[1, 1])
+
     sb = sample_batch
 
     def sample_pass(acc_and_rays, per_sample):
@@ -721,7 +782,7 @@ def _render(
         keys = jax.random.split(sample_key[0], 5 * max_bounces)
         radiance, ray_count = _trace_one_sample(
             scene, origin, direction, keys, max_bounces, ray_count,
-            sort_bounces=sort_bounces,
+            sort_bounces=sort_bounces, cone_spread=cone_spread,
         )
         if sb > 1:
             radiance = radiance.reshape(sb, r, 3).sum(axis=0)
@@ -840,11 +901,20 @@ def scene_from_mesh(
     albedo_tex = np.asarray(
         materials.get("albedo_texture", np.full(m, -1, np.int32)), np.int32
     )
-    from sailor_tpu.assets.materials import stack_textures
+    from sailor_tpu.assets.materials import build_mip_stack, stack_textures
 
     textures = stack_textures(
         list(images), int(materials.get("texture_size", 256))
     )
+    # Packed mip pyramid for ray-cone texture LOD (the tracer-side consumer
+    # of TextureImporter.cpp:247's import-time chains). SAILOR_TRACE_MIPS=0
+    # keeps the old single-level gathers for A/B.
+    import os as _os
+
+    tex_lod = None
+    mip_sizes = ()
+    if textures.shape[0] and _os.environ.get("SAILOR_TRACE_MIPS", "1") == "1":
+        tex_lod, mip_sizes = build_mip_stack(np.asarray(textures))
 
     sun = np.asarray(sun_direction, np.float32)
     sun = sun / np.linalg.norm(sun)
@@ -903,6 +973,13 @@ def scene_from_mesh(
     pack[:, 36] = normal_tex[mt].astype(np.float32)
     pack[:, 37] = orm_tex[mt].astype(np.float32)
     pack[:, 38] = emissive_tex[mt].astype(np.float32)
+    # col 39: per-triangle texel-density term for ray-cone LOD —
+    # 0.5*log2(uv_area/world_area). Multiplying the cone's world-space
+    # footprint by sqrt(uv_area/world_area) converts it to UV units, so
+    # the shade-time LOD is log2(mip0_size * cone_w / cos) + this column.
+    world_a = np.maximum(np.linalg.norm(gn, axis=1), 1e-20)
+    uv_a = np.maximum(np.abs(det), 1e-20)
+    pack[:, 39] = np.clip(0.5 * np.log2(uv_a / world_a), -24.0, 24.0)
 
     env_map = None
     if sky is not None:
@@ -926,6 +1003,8 @@ def scene_from_mesh(
 
     return TraceScene(
         env_map=env_map,
+        tex_lod=tex_lod,
+        mip_sizes=tuple(mip_sizes),
         has_normal_maps=bool((normal_tex >= 0).any()),
         has_orm_maps=bool((orm_tex >= 0).any()),
         has_emissive_maps=bool((emissive_tex >= 0).any()),
