@@ -185,7 +185,6 @@ def shade_forward_plus_pallas(
     ty, tx = H // TILE, W // TILE
     K = tile_light_indices.shape[-1]
 
-    safe = jnp.maximum(tile_light_indices, 0)  # (Ty, Tx, K)
     # Pack the 16 per-light fields into ONE (L, 16) table and gather it
     # once: 16 separate (Ty*Tx*K)-row gathers measured ~4.5 ms EACH on TPU
     # (gather cost is row-count latency, not width) — ~70 ms of the frame;
@@ -198,11 +197,14 @@ def shade_forward_plus_pallas(
         ],
         axis=1,
     )  # (L, 16)
+    # Empty slots route to a sentinel row with type_valid = -1, folding the
+    # validity encode into the gather (the previous full-size masked .set
+    # over (Ty, Tx, K, 16) was its own ~0.4 ms HBM pass).
+    sentinel = jnp.zeros((1, _NP), packed.dtype).at[0, 15].set(-1.0)
+    packed = jnp.concatenate([packed, sentinel])
+    L = packed.shape[0] - 1
+    safe = jnp.where(tile_light_indices >= 0, tile_light_indices, L)
     lp4 = packed[safe]  # (Ty, Tx, K, 16) — THE gather
-    # encode type_valid: -1 for empty slots
-    lp4 = lp4.at[..., 15].set(
-        jnp.where(tile_light_indices >= 0, lp4[..., 15], -1.0)
-    )
     # (Ty, P, K, Tx)
     lp = lp4.transpose(0, 3, 2, 1)
 

@@ -226,11 +226,19 @@ def motion_blur(
     """
     h, w = color.shape[:2]
     fh = full_height if full_height is not None else h
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5 + row0) / fh
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    # The WHOLE velocity pipeline runs at QUARTER resolution: the blur taps
+    # were already quarter-res (gather cost is row-count latency — ~0.9 ms
+    # per quarter tap vs ~3.5 ms half-res at 1080p measured), and velocity
+    # is smooth away from depth edges, so unprojecting 16x fewer pixels
+    # drops ~6 full-res reprojection passes from the frame for free.
+    q = 4
+    he, we = (h // q) * q, (w // q) * q
+    ys = (jnp.arange(he // q, dtype=jnp.float32) * q + 0.5 + row0) / fh
+    xs = (jnp.arange(we // q, dtype=jnp.float32) * q + 0.5) / w
     u, v = jnp.meshgrid(xs, ys, indexing="xy")
+    depth_q = depth_rev[:he:q, :we:q]
     ndc = jnp.stack(
-        [u * 2 - 1, 1 - 2 * v, jnp.maximum(depth_rev, 1e-6), jnp.ones_like(u)], -1
+        [u * 2 - 1, 1 - 2 * v, jnp.maximum(depth_q, 1e-6), jnp.ones_like(u)], -1
     )
     world = m3.homogenize(jnp.einsum("ij,hwj->hwi", inv_view_proj, ndc))
     prev_clip = m3.transform_point_h(prev_view_proj, world)
@@ -238,17 +246,9 @@ def motion_blur(
     prev_uv = jnp.stack(
         [prev_ndc[..., 0] * 0.5 + 0.5, 0.5 - prev_ndc[..., 1] * 0.5], axis=-1
     )
-    vel = (jnp.stack([u, v], -1) - prev_uv) * intensity
-    uv0 = jnp.stack([u, v], -1)
-    # The blur taps run at QUARTER resolution: gather cost is row-count
-    # latency (~3.5 ms per half-res tap, ~0.9 ms per quarter-res tap at
-    # 1080p measured), and the motion-blurred contribution is low-frequency
-    # by construction. The center tap stays full-res sharp.
-    q = 4
-    he, we = (h // q) * q, (w // q) * q
+    vel_h = (jnp.stack([u, v], -1) - prev_uv) * intensity
+    uv_h = jnp.stack([u, v], -1)
     quarter = quarter_full if quarter_full is not None else downsample_quarter(color)
-    uv_h = uv0[: he : q, : we : q]
-    vel_h = vel[: he : q, : we : q]
     acc_h = jnp.zeros((he // q, we // q, color.shape[-1]), color.dtype)
     # nearest taps: 1 gather per sample (vs 4 for bilinear) — the blur
     # direction averaging already low-passes the result

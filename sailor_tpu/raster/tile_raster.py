@@ -277,6 +277,16 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
     raster reads cols 0:17 of the wider rows; extra lanes in the window
     DMA are noise next to the gather it saves).
     """
+    if mxu and (chunk % CHUNK_MXU or chunk < CHUNK_MXU):
+        # the MXU kernel walks chunk // CHUNK_MXU full sub-windows; a
+        # non-multiple chunk would silently drop candidates (advisor r3)
+        raise ValueError(
+            f"mxu=True requires chunk % {CHUNK_MXU} == 0, got {chunk}"
+        )
+    if mxu and TILE_H % MXU_STRIP:
+        raise ValueError(
+            f"mxu=True requires TILE_H % {MXU_STRIP} == 0, got {TILE_H}"
+        )
     if prebuilt is not None:
         rows, big_rows = prebuilt
     else:
@@ -384,17 +394,23 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
 CHUNK_MXU = 128  # candidates per MXU test — one full lane tile
 
 
-def _test_chunk_mxu(s, pxy1, ox, oy, zlo_c, zhi_c):
-    """Edge/depth-test CHUNK_MXU candidates against the whole pixel tile
-    with the planes evaluated ON THE MXU.
+MXU_STRIP = 8  # pixel rows per MXU strip: bounds the live (SPX, 128)
+               # intermediates to SPX = 8*TILE_W pixels (VMEM, advisor r3)
 
-    Orientation is (pixels, candidates): ``pxy1`` is the (PX, 3) matrix of
-    TILE-LOCAL pixel coordinates [dx, dy, 1] and each linear plane
-    (3 edges, depth, 4 AABB half-planes, id broadcast) is one skinny
-    dot_general against a (CM, 3) coefficient block — the multiplies the
-    VPU paid per pixel per candidate (the bulk of the classic kernel)
-    ride the systolic array instead, and the candidate axis lands on the
-    128-lane dimension at full width.
+
+def _test_chunk_mxu(s, pxy1, dxs, dys, ox, oy, zlo_c, zhi_c):
+    """Edge/depth-test CHUNK_MXU candidates against one MXU_STRIP-row
+    pixel strip with the three edge planes + z plane evaluated ON THE MXU.
+
+    Orientation is (pixels, candidates): ``pxy1`` is the (SPX, 3) matrix
+    of TILE-LOCAL pixel coordinates [dx, dy, 1] and each linear plane is
+    one skinny dot_general against a (CM, 3) coefficient block — the
+    multiplies the VPU paid per pixel per candidate (the bulk of the
+    classic kernel) ride the systolic array instead, with the candidate
+    axis on the 128-lane dimension at full width. The AABB clamp and the
+    triangle id need no matmul: they are rank-1 (pixel term + candidate
+    term), evaluated as VPU broadcast compares (advisor r3 — nine dots
+    blew past the 16 MB VMEM bound; four fit).
 
     Tile-local coordinates bound |dx| <= TILE_W and the dots run at
     Precision.HIGHEST (f32-exact bf16 emulation — Mosaic supports only
@@ -411,7 +427,7 @@ def _test_chunk_mxu(s, pxy1, ox, oy, zlo_c, zhi_c):
             pxy1, m, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (PX, CM)
+        )  # (SPX, CM)
 
     def plane(j):
         a, b, c = s[:, 3 * j + 0], s[:, 3 * j + 1], s[:, 3 * j + 2]
@@ -419,23 +435,23 @@ def _test_chunk_mxu(s, pxy1, ox, oy, zlo_c, zhi_c):
 
     e = jnp.minimum(jnp.minimum(plane(0), plane(1)), plane(2))
     z = plane(3)  # zplane lives at cols 9:12
-    ones = jnp.ones_like(s[:, 0])
-    zer = jnp.zeros_like(s[:, 0])
-    # AABB as half-planes: px - xmin, xmax - px, py - ymin, ymax - py,
-    # all tested >= eps (identical to the clamp in _test_chunk)
-    e = jnp.minimum(e, dotp(ones, zer, ox - s[:, 12]))
-    e = jnp.minimum(e, dotp(-ones, zer, s[:, 13] - ox))
-    e = jnp.minimum(e, dotp(zer, ones, oy - s[:, 14]))
-    e = jnp.minimum(e, dotp(zer, -ones, s[:, 15] - oy))
-    idp = dotp(zer, zer, s[:, 16])  # float ids broadcast across pixels
-    ok = (e >= eps) & (idp >= 0.0) & (z > 0.0) & (z <= 1.0)
+    # AABB as rank-1 broadcast compares: (SPX, 1) pixel coordinate against
+    # (1, CM) candidate bound, identical semantics to _test_chunk's clamp.
+    axs = ox + dxs
+    ays = oy + dys
+    inside = (
+        (axs >= s[:, 12][None, :] + eps) & (axs <= s[:, 13][None, :] - eps)
+        & (ays >= s[:, 14][None, :] + eps) & (ays <= s[:, 15][None, :] - eps)
+    )
+    idp = jnp.broadcast_to(s[:, 16][None, :], e.shape)  # float ids (VPU)
+    ok = (e >= eps) & inside & (idp >= 0.0) & (z > 0.0) & (z <= 1.0)
     if zlo_c is not None:
         ok &= (z > zlo_c) & (z < zhi_c)
     return jnp.where(ok, z, -1.0), idp
 
 
 def _merge_chunk_mxu(carry, zm, idp):
-    bz, bid = carry  # (PX, 1) f32
+    bz, bid = carry  # (SPX, 1) f32
     k_z = jnp.max(zm, axis=1, keepdims=True)
     k_id = jnp.max(jnp.where(zm == k_z, idp, -1.0), axis=1, keepdims=True)
     take = k_z > bz
@@ -446,8 +462,9 @@ def _raster_kernel_stream_mxu(sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
                               zb_ref, ib_ref, *, ntx: int, ntiles: int,
                               chunk: int, zlo_ref=None, zhi_ref=None):
     """MXU variant of _raster_kernel_stream: same grid/windows, candidates
-    tested CHUNK_MXU at a time in the (pixels, candidates) orientation.
-    The running winner lives in (PX, 1) scratch across the k grid steps;
+    tested CHUNK_MXU at a time in the (pixels, candidates) orientation,
+    pixels walked in MXU_STRIP-row strips to bound VMEM. The running
+    winner lives in (SPX, 1)-per-strip scratch across the k grid steps;
     the (TILE_H, TILE_W) outputs are written once at the last step."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -456,54 +473,82 @@ def _raster_kernel_stream_mxu(sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
     spt = sc_ref[ntiles + t]
     n_big = sc_ref[2 * ntiles]
 
-    PX = TILE_H * TILE_W
+    SPX = MXU_STRIP * TILE_W
     ox = (tj * TILE_W).astype(jnp.float32)
     oy = (ti * TILE_H).astype(jnp.float32)
-    r = jax.lax.broadcasted_iota(jnp.int32, (PX, 3), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (PX, 3), 1)
-    dx = (r % TILE_W).astype(jnp.float32) + 0.5
-    dy = (r // TILE_W).astype(jnp.float32) + 0.5
-    pxy1 = jnp.where(c == 0, dx, jnp.where(c == 1, dy, 1.0))
+    r = jax.lax.broadcasted_iota(jnp.int32, (SPX, 3), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SPX, 3), 1)
+    dx0 = (r % TILE_W).astype(jnp.float32) + 0.5
+    dy0 = (r // TILE_W).astype(jnp.float32) + 0.5
+
+    nstrips = TILE_H // MXU_STRIP
+
+    def strip_consts(st):
+        dy = dy0 + jnp.float32(st * MXU_STRIP)
+        pxy1 = jnp.where(c == 0, dx0, jnp.where(c == 1, dy, 1.0))
+        dxs = dx0[:, :1]          # (SPX, 1) tile-local pixel x
+        dys = dy[:, :1]           # (SPX, 1) tile-local pixel y
+        return pxy1, dxs, dys
 
     if zlo_ref is not None:
-        zlo_c = zlo_ref[...].reshape(PX, 1)
-        zhi_c = zhi_ref[...].reshape(PX, 1)
-    else:
-        zlo_c = zhi_c = None
+        zlo_full = zlo_ref[...]
+        zhi_full = zhi_ref[...]
 
-    def test_sub(ref, base, carry):
+    def strip_bounds(st):
+        if zlo_ref is None:
+            return None, None
+        sl = slice(st * MXU_STRIP, (st + 1) * MXU_STRIP)
+        return (zlo_full[sl, :].reshape(SPX, 1),
+                zhi_full[sl, :].reshape(SPX, 1))
+
+    def test_sub(ref, base, carry, consts, zb):
         s = ref[pl.ds(base, CHUNK_MXU), :]
-        zm, idp = _test_chunk_mxu(s, pxy1, ox, oy, zlo_c, zhi_c)
+        pxy1, dxs, dys = consts
+        zm, idp = _test_chunk_mxu(s, pxy1, dxs, dys, ox, oy, *zb)
         return _merge_chunk_mxu(carry, zm, idp)
 
     @pl.when(k == 0)
     def _():
-        best = (
-            jnp.zeros((PX, 1), jnp.float32),
-            jnp.full((PX, 1), -1.0, jnp.float32),
-        )
         nb = (n_big + (CHUNK_MXU - 1)) // CHUNK_MXU
-        best = jax.lax.fori_loop(
-            0, nb, lambda b, cr: test_sub(big_ref, b * CHUNK_MXU, cr), best
-        )
-        zb_ref[...] = best[0]
-        ib_ref[...] = best[1]
+        for st in range(nstrips):
+            consts = strip_consts(st)
+            zb = strip_bounds(st)
+            best = (
+                jnp.zeros((SPX, 1), jnp.float32),
+                jnp.full((SPX, 1), -1.0, jnp.float32),
+            )
+            best = jax.lax.fori_loop(
+                0, nb,
+                lambda b, cr: test_sub(big_ref, b * CHUNK_MXU, cr, consts, zb),
+                best,
+            )
+            sl = pl.ds(st * SPX, SPX)
+            zb_ref[sl, :] = best[0]
+            ib_ref[sl, :] = best[1]
 
     @pl.when((k == 0) | (k < spt))
     def _():
-        best = jax.lax.fori_loop(
-            0, chunk // CHUNK_MXU,
-            lambda b, cr: test_sub(rows_ref, b * CHUNK_MXU, cr),
-            (zb_ref[...], ib_ref[...]),
-        )
-        zb_ref[...] = best[0]
-        ib_ref[...] = best[1]
+        for st in range(nstrips):
+            consts = strip_consts(st)
+            zb = strip_bounds(st)
+            sl = pl.ds(st * SPX, SPX)
+            best = jax.lax.fori_loop(
+                0, chunk // CHUNK_MXU,
+                lambda b, cr: test_sub(rows_ref, b * CHUNK_MXU, cr,
+                                       consts, zb),
+                (zb_ref[sl, :], ib_ref[sl, :]),
+            )
+            zb_ref[sl, :] = best[0]
+            ib_ref[sl, :] = best[1]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
         depth_ref[...] = zb_ref[...].reshape(TILE_H, TILE_W)
         tid_ref[...] = (
-            ib_ref[...].reshape(TILE_H, TILE_W).astype(jnp.int32)
+            # round before the int cast: the merge routes ids through f32
+            # compares — guard the exact-integer assumption (advisor r3)
+            (ib_ref[...] + jnp.where(ib_ref[...] >= 0.0, 0.5, -0.5))
+            .reshape(TILE_H, TILE_W).astype(jnp.int32)
         )
 
 

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sailor_tpu.core import math3d as m3
 from sailor_tpu.raster import rasterize
@@ -191,6 +192,27 @@ def test_stream_matches_dense():
     )
     np.testing.assert_allclose(np.asarray(dc), np.asarray(db), atol=1e-6)
     assert (np.asarray(tc) == np.asarray(tb)).all()
+
+    # MXU kernel: same windows, planes on the systolic array (chunk must
+    # be a CHUNK_MXU multiple — the guard is its own test below)
+    dm, tm, ovm = tile_raster.rasterize_stream(
+        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx, chunk=128, kmax=8,
+        mxu=True,
+    )
+    assert int(ovm) == 0
+    np.testing.assert_allclose(np.asarray(d), np.asarray(dm), atol=1e-6)
+    assert (np.asarray(t_) == np.asarray(tm)).all()
+    dmz, tmz, _ = tile_raster.rasterize_stream(
+        tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx,
+        z_bounds=(zlo, zhi), chunk=128, kmax=8, mxu=True,
+    )
+    np.testing.assert_allclose(np.asarray(dmz), np.asarray(db), atol=1e-6)
+    assert (np.asarray(tmz) == np.asarray(tb)).all()
+    with pytest.raises(ValueError):
+        tile_raster.rasterize_stream(
+            tri, aabb, *rb[:5], tiles_y=ty, tiles_x=tx, chunk=64, kmax=8,
+            mxu=True,
+        )
 
     # manual-DMA kernel: same ragged bins, per-tile async-copy windows
     d4, t4, ov4 = tile_raster.rasterize_dma(
