@@ -255,6 +255,35 @@ class FrameGraph:
             self._jitted = jax.jit(self._run)
             return self._jitted(scene, state)
 
+    def process_views(self, scene, states: list, frames: list):
+        """Render N cameras of ONE world in one process — the analog of
+        RHISceneView's per-camera snapshot list (SceneView.h:85-115) with
+        RHIFrameGraph running once per snapshot (RHIFrameGraph.cpp:95).
+
+        ``frames``: list of FrameData (one per camera); ``states``: one
+        temporal-state dict per camera (camera-dependent caches — CSM
+        change snapshots, HiZ pyramids, exposure — must not cross-bleed
+        between views). Host-side bakes in ``prepare`` (environment/IBL)
+        are instance-cached and shared across views. All views share one
+        compiled executable: the camera is a traced FrameData, so view 2+
+        costs zero recompiles.
+
+        Returns (list of target dicts, list of new states).
+        """
+        outs, new_states = [], []
+        for frame, st in zip(frames, states):
+            view_scene = scene.replace(
+                frame=frame,
+                # the main camera keeps its real history (motion blur);
+                # secondary views reproject against themselves (static)
+                prev_frame=(scene.prev_frame if frame is scene.frame
+                            else frame),
+            )
+            t, s = self.process(view_scene, st)
+            outs.append(t)
+            new_states.append(s)
+        return outs, new_states
+
     # -- multi-chip execution ------------------------------------------------
 
     def process_sharded(self, scene, state: dict, mesh, axis: str = "screen",

@@ -103,17 +103,21 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
 
         return raster, rb[5]  # small tris never drop; big-capacity only
     if mode == "stream":
-        chunk = int(config.get("stream_chunk", 256))
+        worklist = bool(config.get("raster_worklist", True))
+        chunk = int(config.get("stream_chunk", 128 if worklist else 256))
         kmax = max(1, -(-(capacity * rounds) // chunk))
         rb = rsetup.bin_sorted(
             valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_w=tw, tile_h=th,
         )
-        ends = rb[1].astype(jnp.int32) + rb[2].astype(jnp.int32)
-        c0 = rb[1].astype(jnp.int32) // chunk
-        overflow = (
-            jnp.maximum(ends - (c0 + kmax) * chunk, 0).sum() + rb[5]
-        )
+        if worklist:
+            overflow = rb[5]  # work-list grid has no kmax segment cap
+        else:
+            ends = rb[1].astype(jnp.int32) + rb[2].astype(jnp.int32)
+            c0 = rb[1].astype(jnp.int32) // chunk
+            overflow = (
+                jnp.maximum(ends - (c0 + kmax) * chunk, 0).sum() + rb[5]
+            )
         prebuilt = None
         if attrs is not None:
             rows, big_rows, na = tile_raster.build_stream_rows(
@@ -122,19 +126,25 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
             prebuilt = (rows, big_rows)
 
         def raster(z_bounds=None, _rb=rb):
-            d, t, _ = tile_raster.rasterize_stream(
-                tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
-                z_bounds=z_bounds, chunk=chunk, kmax=kmax,
-                prebuilt=prebuilt,
-                mxu=bool(config.get("raster_mxu", False)),
-            )
+            if worklist:
+                d, t, _ = tile_raster.rasterize_worklist(
+                    tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
+                    z_bounds=z_bounds, chunk=chunk, prebuilt=prebuilt,
+                )
+            else:
+                d, t, _ = tile_raster.rasterize_stream(
+                    tri, aabb, *_rb[:5], tiles_y=tiles_y, tiles_x=tiles_x,
+                    z_bounds=z_bounds, chunk=chunk, kmax=kmax,
+                    prebuilt=prebuilt,
+                    mxu=bool(config.get("raster_mxu", False)),
+                )
             return d, t
 
         if attrs is not None:
             raster.stream_bins = {
                 "rows": rows, "big_rows": big_rows, "starts": rb[1],
                 "counts": rb[2], "n_big": rb[4], "na": na,
-                "chunk": chunk, "kmax": kmax,
+                "chunk": chunk, "kmax": kmax, "worklist": worklist,
             }
         return raster, overflow
 
@@ -346,6 +356,9 @@ class LightCullingNode(BaseNode):
             viewport=(w, ctx.fh),
             max_per_tile=int(ctx.config.get("max_lights_per_tile", cfg.LIGHTS_PER_TILE)),
             row0=ctx.row0,
+            # two-level cull: supertile shortlist bounds the per-tile sort
+            # width (the node's dominant cost at 1k lights); 0 disables
+            coarse_capacity=int(ctx.config.get("light_coarse_capacity", 256)),
         )
         targets["LightIndices"] = idx
         targets["LightCounts"] = counts

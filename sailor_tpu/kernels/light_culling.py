@@ -43,7 +43,7 @@ def tile_depth_bounds(linear_depth, tiles_y: int, tiles_x: int):
 
 
 def _tile_side_planes(tiles_y: int, tiles_x: int, viewport, inv_projection,
-                      row0=0):
+                      row0=0, scale: int = 1):
     """View-space side planes for every tile: (Ty, Tx, 4, 4).
 
     All four planes pass through the eye (origin), so each is defined purely
@@ -51,10 +51,11 @@ def _tile_side_planes(tiles_y: int, tiles_x: int, viewport, inv_projection,
     rays unprojected from the tile's screen-space corners
     (ComputeLightCulling.shader CreateFrustum, vectorized over tiles).
     ``row0``: global pixel row of the first local tile row (screen-sharded).
+    ``scale``: tile edge in units of TILE (supertiles for the coarse pass).
     """
     vw, vh = viewport
-    xs = jnp.arange(tiles_x + 1, dtype=jnp.float32) * TILE
-    ys = jnp.arange(tiles_y + 1, dtype=jnp.float32) * TILE + row0
+    xs = jnp.arange(tiles_x + 1, dtype=jnp.float32) * (TILE * scale)
+    ys = jnp.arange(tiles_y + 1, dtype=jnp.float32) * (TILE * scale) + row0
     # Screen -> NDC (y down in screen, up in NDC)
     ndc_x = xs / vw * 2.0 - 1.0
     ndc_y = 1.0 - ys / vh * 2.0
@@ -82,9 +83,13 @@ def _tile_side_planes(tiles_y: int, tiles_x: int, viewport, inv_projection,
     return jnp.stack([left, right, top, bottom], axis=-2)  # (Ty, Tx, 4, 4)
 
 
+SUPER = 4  # tiles per supertile edge for the two-level cull
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_y", "tiles_x", "viewport", "max_per_tile"),
+    static_argnames=("tiles_y", "tiles_x", "viewport", "max_per_tile",
+                     "coarse_capacity"),
 )
 def cull_lights(
     lights: Lights,
@@ -97,12 +102,25 @@ def cull_lights(
     viewport: tuple[int, int],
     max_per_tile: int = config.LIGHTS_PER_TILE,
     row0=0,
+    coarse_capacity: int | None = None,
 ):
     """Returns (indices (Ty, Tx, K) int32 with -1 padding, counts (Ty, Tx)).
 
     ``linear_depth``: (Ty*TILE, Tx*TILE) positive view-space depth.
     ``viewport`` is always the FULL (w, h); ``row0`` shifts tile rows for
     a screen-sharded slice.
+
+    ``coarse_capacity``: when set (and < light count), a SUPERxSUPER-tile
+    coarse pass shortlists that many nearest-ranked lights per 64x64-px
+    supertile first, and the per-tile sort runs over the shortlist only —
+    the (Tiles, L) sort is the node's dominant cost at 1k lights and the
+    shortlist cuts its width ~4-8x. Conservative: the supertile frustum
+    and depth slab contain every member tile's, so a tile's hit set is a
+    subset of its supertile's; lights can only be lost if a single
+    supertile legitimately intersects more than ``coarse_capacity``
+    lights, in which case the FARTHEST drop first — the same overflow
+    policy as the per-tile budget (reference ComputeLightCulling.shader
+    drops by list order at its 128 budget).
     """
     planes = _tile_side_planes(tiles_y, tiles_x, viewport, inv_projection,
                                row0)
@@ -117,55 +135,108 @@ def cull_lights(
 
     # Lights to raw view space (-z forward, same space the planes live in).
     pos_vs = m3.transform_point(view, lights.position)
-
-    # (Ty, Tx, 4, L) signed distances -> inside if >= -radius for all planes.
-    side = jnp.einsum("abpk,lk->abpl", planes[..., :3], pos_vs)
-    in_sides = jnp.all(side >= -lights.radius[None, None, None, :], axis=2)
-    # Depth slab uses +z into the screen (linear depth convention).
-    z = -pos_vs[..., 2]
-    in_depth = (
-        (z[None, None, :] + lights.radius >= z0[..., None])
-        & (z[None, None, :] - lights.radius <= z1[..., None])
-    )
     is_dir = lights.type == DIRECTIONAL
-    hit = (in_sides & in_depth) | is_dir[None, None, :]
-    hit = hit & lights.valid_mask[None, None, :]
+    z = -pos_vs[..., 2]
 
-    # Compact + impact-sort in ONE jnp.sort over (Tiles, L):
-    # every light gets a global camera-distance rank (directional lights
-    # rank first, matching LightingECS.cpp:209-260's distance sort), each
-    # tile sorts {rank if hit else BIG}, and the first K slots are the K
-    # nearest hit lights — so when a tile overflows its budget, the
-    # farthest lights drop, never the nearest. Replaces the previous
-    # chunked per-slot binary search (~80 small gather ops, the node's
-    # dominant cost) with a single fused sort; also beats lax.top_k, which
-    # lowers to ~k serial passes at k=128 (measured ~30x slower).
+    # Global camera-distance rank (directional lights rank first, matching
+    # LightingECS.cpp:209-260's distance sort); (rank, id) packed into ONE
+    # uint32 sort key — rank in the high bits, id in the low bits — so
+    # decoding an id after the sort is a mask, not a gather. uint32: with
+    # L up to 65,535 (LightingSystem.MAX_LIGHTS) and id_bits=16, rank<<16
+    # and the L<<16 empty sentinel exceed int31 and would wrap negative,
+    # corrupting the sort (advisor r2).
     k = min(max_per_tile, lights.capacity)
     ntiles = tiles_y * tiles_x
-    L = hit.shape[-1]
+    L = pos_vs.shape[0]
     dist = jnp.linalg.norm(pos_vs, axis=-1)
     order = jnp.argsort(jnp.where(is_dir, -1.0, dist))   # (L,) rank -> light
     rank = jnp.argsort(order).astype(jnp.int32)          # (L,) light -> rank
-    # Pack (rank, light id) into ONE sort key: rank in the high bits, id in
-    # the low bits. Decoding the id is a mask — the previous order[skeys]
-    # indirection was a (Tiles*K)-row gather from a tiny table, pure HBM
-    # latency (~5.6 ms at 1080p/1k lights, ~3x the sort itself).
-    # uint32 keys: with L up to 65,535 (LightingSystem.MAX_LIGHTS) and
-    # id_bits=16, rank<<16 and the L<<16 empty sentinel exceed int31 and
-    # would wrap negative, corrupting the sort (advisor r2).
     id_bits = max(1, (L - 1).bit_length())
     assert id_bits + L.bit_length() <= 32, "light count overflows sort key"
+    id_mask = (1 << id_bits) - 1
+    sentinel = jnp.uint32(L) << id_bits
     lid = jnp.arange(L, dtype=jnp.uint32)
-    keys = jnp.where(
-        hit.reshape(ntiles, L),
-        (rank[None, :].astype(jnp.uint32) << id_bits) | lid[None, :],
-        jnp.uint32(L) << id_bits,
-    )
+    packed_key = (rank.astype(jnp.uint32) << id_bits) | lid  # (L,)
+
+    if coarse_capacity and coarse_capacity < L:
+        # ---- coarse pass: SUPERxSUPER-tile shortlist ----
+        cc = int(coarse_capacity)
+        sy = -(-tiles_y // SUPER)
+        sx = -(-tiles_x // SUPER)
+        splanes = _tile_side_planes(sy, sx, viewport, inv_projection,
+                                    row0, scale=SUPER)
+        # supertile slab = union of member-tile slabs (pad with an empty
+        # slab so edge supertiles ignore the padding)
+        pz0 = jnp.pad(z0, ((0, sy * SUPER - tiles_y),
+                           (0, sx * SUPER - tiles_x)),
+                      constant_values=jnp.inf)
+        pz1 = jnp.pad(z1, ((0, sy * SUPER - tiles_y),
+                           (0, sx * SUPER - tiles_x)),
+                      constant_values=-jnp.inf)
+        sz0 = pz0.reshape(sy, SUPER, sx, SUPER).min(axis=(1, 3))
+        sz1 = pz1.reshape(sy, SUPER, sx, SUPER).max(axis=(1, 3))
+
+        sside = jnp.einsum("abpk,lk->abpl", splanes[..., :3], pos_vs)
+        s_in = jnp.all(sside >= -lights.radius[None, None, None, :], axis=2)
+        s_in &= (
+            (z[None, None, :] + lights.radius >= sz0[..., None])
+            & (z[None, None, :] - lights.radius <= sz1[..., None])
+        )
+        s_hit = (s_in | is_dir[None, None, :]) & lights.valid_mask[None, None, :]
+        ckeys = jnp.where(s_hit.reshape(sy * sx, L), packed_key[None, :],
+                          sentinel)
+        short = jax.lax.sort(ckeys, dimension=-1)[:, :cc]   # (Sy*Sx, cc)
+        short = short.reshape(sy, sx, cc)
+        sl_id = (short & id_mask).astype(jnp.int32)
+        sl_live = (short >> id_bits) < L
+
+        # ---- fine pass over the shortlist only ----
+        # expand supertile shortlists to their member tiles
+        ty_ix = jnp.arange(tiles_y) // SUPER
+        tx_ix = jnp.arange(tiles_x) // SUPER
+        t_short = short[ty_ix][:, tx_ix]                    # (Ty, Tx, cc)
+        t_id = sl_id[ty_ix][:, tx_ix]
+        t_live = sl_live[ty_ix][:, tx_ix]
+        p_sl = pos_vs[t_id]                                 # (Ty, Tx, cc, 3)
+        r_sl = lights.radius[t_id]
+        z_sl = z[t_id]
+        dir_sl = is_dir[t_id]
+
+        side = jnp.einsum("abpk,abck->abpc", planes[..., :3], p_sl)
+        in_sides = jnp.all(side >= -r_sl[:, :, None, :], axis=2)
+        in_depth = (
+            (z_sl + r_sl >= z0[..., None]) & (z_sl - r_sl <= z1[..., None])
+        )
+        hit = ((in_sides & in_depth) | dir_sl) & t_live
+        keys = jnp.where(hit.reshape(ntiles, cc),
+                         t_short.reshape(ntiles, cc), sentinel)
+    else:
+        # ---- single-level: (Ty, Tx, 4, L) signed distances ----
+        side = jnp.einsum("abpk,lk->abpl", planes[..., :3], pos_vs)
+        in_sides = jnp.all(side >= -lights.radius[None, None, None, :],
+                           axis=2)
+        # Depth slab uses +z into the screen (linear depth convention).
+        in_depth = (
+            (z[None, None, :] + lights.radius >= z0[..., None])
+            & (z[None, None, :] - lights.radius <= z1[..., None])
+        )
+        hit = (in_sides & in_depth) | is_dir[None, None, :]
+        hit = hit & lights.valid_mask[None, None, :]
+        keys = jnp.where(
+            hit.reshape(ntiles, L), packed_key[None, :], sentinel
+        )
+
+    # Compact + impact-sort in ONE jnp.sort over (Tiles, C): each tile
+    # sorts {packed key if hit else BIG} and the first K slots are the K
+    # nearest hit lights — when a tile overflows its budget the farthest
+    # drop, never the nearest. Replaces the previous chunked per-slot
+    # binary search (~80 small gather ops); also beats lax.top_k, which
+    # lowers to ~k serial passes at k=128 (measured ~30x slower).
     skeys = jax.lax.sort(keys, dimension=-1)[:, :k]      # (Tiles, K) packed
-    counts = jnp.sum(hit.reshape(ntiles, L), axis=-1, dtype=jnp.int32)
+    counts = jnp.sum(keys < sentinel, axis=-1, dtype=jnp.int32)
     indices = jnp.where(
         (skeys >> id_bits) < L,
-        (skeys & ((1 << id_bits) - 1)).astype(jnp.int32),
+        (skeys & id_mask).astype(jnp.int32),
         -1,
     )
     if k < max_per_tile:

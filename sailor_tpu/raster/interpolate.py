@@ -125,26 +125,53 @@ def pixel_rays_strided(inv_view_projection, camera_position, height: int,
     return _unproject_rays(inv_view_projection, camera_position, u, v)
 
 
-def uv_screen_lod(uv, base_size: int):
-    """Per-pixel mip level from screen-space UV finite differences.
+def uv_screen_lod(uv, base_size: int, valid=None):
+    """Per-pixel mip level from hardware-style 2x2 QUAD derivatives.
 
-    The hardware-sampler analog (quad derivatives) for the visibility
-    buffer: forward-difference the resolved (H, W, 2) uv map, wrap-fold
-    each delta to [-0.5, 0.5) so repeat seams (0.99 -> 0.01) don't blow
-    the footprint, and take log2 of the larger axis footprint in texels.
-    Triangle boundaries get neighbor-triangle deltas — same artifact
-    class as hardware 2x2 quads; the clip in the sampler bounds it.
+    Exactly the GPU sampler scheme: each aligned 2x2 pixel quad shares one
+    (ddx, ddy) pair computed INSIDE the quad, wrap-folded to [-0.5, 0.5)
+    so repeat seams (0.99 -> 0.01) don't blow the footprint; lod is log2
+    of the larger axis footprint in texels. Quad-local deltas make the
+    result independent of screen sharding (row slices are TILE_H-aligned,
+    hence quad-aligned) and of anything outside the quad — forward
+    differences coupled neighbor rows across shard boundaries and
+    diverged from the single-device frame.
+
+    ``valid``: optional (H, W) coverage mask — a delta crossing a
+    background pixel is dropped (background uv is implementation-defined:
+    the classic resolve gathers triangle 0's attributes there, the fused
+    kernel emits zeros). A quad with no valid partner samples mip 0.
     """
     def fold(d):
         return d - jnp.round(d)
 
-    dx = fold(jnp.diff(uv, axis=1, append=uv[:, -1:] * 2 - uv[:, -2:-1]))
-    dy = fold(jnp.diff(uv, axis=0, append=uv[-1:] * 2 - uv[-2:-1]))
-    rho = jnp.maximum(
-        dx[..., 0] ** 2 + dx[..., 1] ** 2,
-        dy[..., 0] ** 2 + dy[..., 1] ** 2,
-    ) * (base_size * base_size)
-    return 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
+    h, w = uv.shape[:2]
+    he, we = h - (h % 2), w - (w % 2)
+    uq = uv[:he, :we]
+
+    def quad(d, axis):
+        # pairwise delta shared by both pixels of the pair along `axis`
+        if axis == 1:
+            d = d[:, 1::2] - d[:, ::2]
+            return jnp.repeat(d, 2, axis=1)
+        d = d[1::2] - d[::2]
+        return jnp.repeat(d, 2, axis=0)
+
+    dx = fold(quad(uq, 1))
+    dy = fold(quad(uq, 0))
+    rx = dx[..., 0] ** 2 + dx[..., 1] ** 2
+    ry = dy[..., 0] ** 2 + dy[..., 1] ** 2
+    if valid is not None:
+        vq = valid[:he, :we]
+        vx = jnp.repeat(vq[:, 1::2] & vq[:, ::2], 2, axis=1)
+        vy = jnp.repeat(vq[1::2] & vq[::2], 2, axis=0)
+        rx = jnp.where(vx, rx, 0.0)
+        ry = jnp.where(vy, ry, 0.0)
+    rho = jnp.maximum(rx, ry) * (base_size * base_size)
+    lod = 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
+    if (he, we) != (h, w):
+        lod = jnp.pad(lod, ((0, h - he), (0, w - we)), mode="edge")
+    return lod
 
 
 @functools.partial(jax.jit, static_argnums=(7,))
@@ -182,7 +209,7 @@ def resolve_alpha(
     v = jnp.clip(v, 0.0, 1.0 - u)
     uv = px[..., 18:20] + px[..., 20:22] * u + px[..., 22:24] * v
     mat_id = px[..., 36].astype(jnp.int32)
-    lod = (uv_screen_lod(uv, materials.textures.shape[1])
+    lod = (uv_screen_lod(uv, materials.textures.shape[1], tri_id >= 0)
            if materials.has_mips else None)
     albedo, _, _, _ = materials.sample(mat_id, uv, lod)
     # vertex-color alpha modulates too (color columns 24:28 etc.)
@@ -241,7 +268,8 @@ def resolve_gbuffer(
         metallic = px[..., 40]
         roughness = px[..., 41]
         emissive = px[..., 42:45]
-        lod = (uv_screen_lod(uv, materials.textures.shape[1])
+        lod = (uv_screen_lod(uv, materials.textures.shape[1],
+                              tri_id >= 0)
                if materials.has_mips else None)
         if materials.textures.shape[0] > 0:
             a_layer = px[..., 45].astype(jnp.int32)
@@ -297,6 +325,32 @@ def resolve_gbuffer(
     ), uv, mat_id
 
 
+def _resolve_planes(sb, tri_id, inv_view_projection, camera_position, *,
+                    tiles_y, tiles_x, width, full_height, row0):
+    """Dispatch one bin set through the fused resolve — the work-list grid
+    when the bins were built for it, the grid-k kernel otherwise."""
+    from sailor_tpu.raster import tile_raster
+
+    common = dict(
+        tiles_y=tiles_y, tiles_x=tiles_x, na=int(sb["na"]),
+        width=width, full_height=full_height, row0=row0,
+    )
+    if sb.get("worklist"):
+        return tile_raster.resolve_worklist(
+            sb["rows"], sb["big_rows"], tri_id,
+            sb["starts"], sb["counts"], sb["n_big"],
+            inv_view_projection, camera_position,
+            chunk=int(sb.get("chunk", 128)), **common,
+        )
+    return tile_raster.resolve_stream(
+        sb["rows"], sb["big_rows"], tri_id,
+        sb["starts"], sb["counts"], sb["n_big"],
+        inv_view_projection, camera_position,
+        chunk=int(sb.get("chunk", 256)), kmax=int(sb.get("kmax", 16)),
+        **common,
+    )
+
+
 def resolve_gbuffer_stream(
     stream_bins,
     tri_id,
@@ -337,15 +391,10 @@ def resolve_gbuffer_stream(
                 else [stream_bins])
     planes = None
     for sb in bin_sets:
-        ps = tile_raster.resolve_stream(
-            sb["rows"], sb["big_rows"], tri_id,
-            sb["starts"], sb["counts"], sb["n_big"],
-            inv_view_projection, camera_position,
-            tiles_y=tiles_y, tiles_x=tiles_x, na=int(sb["na"]),
-            width=W, full_height=fh, row0=row0,
-            chunk=int(sb.get("chunk", 256)),
-            kmax=int(sb.get("kmax", 16)),
-        )
+        ps = _resolve_planes(sb, tri_id, inv_view_projection,
+                             camera_position, tiles_y=tiles_y,
+                             tiles_x=tiles_x, width=W, full_height=fh,
+                             row0=row0)
         planes = ps if planes is None else [a + b for a, b in zip(planes, ps)]
     planes = [p[:H, :W] for p in planes]
     wpos = jnp.stack(planes[0:3], axis=-1)
@@ -359,7 +408,7 @@ def resolve_gbuffer_stream(
         metallic = planes[16]
         roughness = planes[17]
         emissive = jnp.stack(planes[18:21], axis=-1)
-        lod = (uv_screen_lod(uv, materials.textures.shape[1])
+        lod = (uv_screen_lod(uv, materials.textures.shape[1], valid)
                if materials.has_mips else None)
         if materials.textures.shape[0] > 0:
             a_layer = planes[21].astype(jnp.int32)
@@ -439,22 +488,17 @@ def resolve_alpha_stream(
 
     H, W = tri_id.shape
     fh = full_height if full_height is not None else H
-    sb = stream_bins
-    planes = tile_raster.resolve_stream(
-        sb["rows"], sb["big_rows"], tri_id,
-        sb["starts"], sb["counts"], sb["n_big"],
-        inv_view_projection, camera_position,
-        tiles_y=tiles_y, tiles_x=tiles_x, na=int(sb["na"]),
-        width=W, full_height=fh, row0=row0,
-        chunk=int(sb.get("chunk", 256)), kmax=int(sb.get("kmax", 16)),
-    )
+    planes = _resolve_planes(stream_bins, tri_id, inv_view_projection,
+                             camera_position, tiles_y=tiles_y,
+                             tiles_x=tiles_x, width=W, full_height=fh,
+                             row0=row0)
     planes = [p[:H, :W] for p in planes]
     uv = jnp.stack(planes[6:8], axis=-1)
     color_a = planes[11]
     cutoff = planes[27]
     if materials.textures.shape[0] > 0:
         a_layer = planes[21].astype(jnp.int32)
-        lod = (uv_screen_lod(uv, materials.textures.shape[1])
+        lod = (uv_screen_lod(uv, materials.textures.shape[1], tri_id >= 0)
                if materials.has_mips else None)
         tex = materials.sample_texture(a_layer, uv, lod)
         alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)

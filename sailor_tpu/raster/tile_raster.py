@@ -391,6 +391,178 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
     )(*inputs)
     return depth, tid, overflow
 
+def _window_worklist(starts, counts, ntiles: int, chunk: int, nw_max: int):
+    """Flatten ragged per-tile window segments into per-window work arrays.
+
+    Returns (wt, wk, wabs): for each of nw_max grid steps, the tile id,
+    the window index within its tile (-1 for dead tail steps), and the
+    absolute window-block index into the sorted rows array. Dead steps
+    repeat the last live entry's tile/block so Mosaic skips their DMA and
+    output flush. Every tile contributes >= 1 window (c1 >= c0 + 1), so
+    the work list is tile-major ascending and output revisits are
+    consecutive — the ragged/grouped-matmul grid pattern.
+    """
+    starts = starts.astype(jnp.int32)
+    counts = counts.astype(jnp.int32)
+    ends = starts + counts
+    c0 = starts // chunk
+    c1 = jnp.maximum((ends + chunk - 1) // chunk, c0 + 1)
+    spt = c1 - c0
+    off = jnp.cumsum(spt)                       # (ntiles,) end offsets
+    nw = off[-1]
+    w = jnp.arange(nw_max, dtype=jnp.int32)
+    t = jnp.searchsorted(off, w, side="right").astype(jnp.int32)
+    live = w < nw
+    t = jnp.where(live, jnp.minimum(t, ntiles - 1), ntiles - 1)
+    base = jnp.where(t > 0, off[jnp.maximum(t - 1, 0)], 0)
+    k = w - base
+    wk = jnp.where(live, k, -1)
+    wabs = c0[t] + jnp.where(live, k, jnp.maximum(spt[ntiles - 1] - 1, 0))
+    return t, wk, wabs
+
+
+def _raster_kernel_worklist(sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
+                            *, ntx: int, nw: int, chunk: int,
+                            zlo_ref=None, zhi_ref=None):
+    """Work-list streaming raster: grid (nw,) — ONE program per live
+    window (scalar-prefetched tile/window ids) instead of (ty, tx, kmax).
+
+    vs _raster_kernel_stream: no dead grid steps (the (ty, tx, kmax) grid
+    paid kmax steps per tile while the median tile has 1-2 live windows —
+    at TILE_H=16 that overhead swamped the 4x smaller per-candidate pixel
+    work), and no kmax segment cap, so overflow is structurally zero.
+    """
+    p = pl.program_id(0)
+    t = sc_ref[p]
+    wk = sc_ref[nw + p]
+    n_big = sc_ref[3 * nw]
+
+    ti = t // ntx
+    tj = t - ti * ntx
+    oy = (ti * TILE_H).astype(jnp.float32)
+    ox = (tj * TILE_W).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = oy + iy.astype(jnp.float32) + 0.5
+    px = ox + ix.astype(jnp.float32) + 0.5
+    zlo = zlo_ref[...] if zlo_ref is not None else None
+    zhi = zhi_ref[...] if zhi_ref is not None else None
+
+    def test_sub(ref, base, carry):
+        s = ref[pl.ds(base, CHUNK), :]
+        zm, ids = _test_chunk(s, px, py, zlo, zhi)
+        return _merge_chunk(carry, zm, ids)
+
+    @pl.when(wk == 0)
+    def _():
+        best = (
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+        )
+        nb = (n_big + (CHUNK - 1)) // CHUNK
+        best = jax.lax.fori_loop(
+            0, nb, lambda b, c: test_sub(big_ref, b * CHUNK, c), best
+        )
+        depth_ref[...] = best[0]
+        tid_ref[...] = best[1]
+
+    @pl.when(wk >= 0)
+    def _():
+        best = jax.lax.fori_loop(
+            0, chunk // CHUNK,
+            lambda b, c: test_sub(rows_ref, b * CHUNK, c),
+            (depth_ref[...], tid_ref[...]),
+        )
+        depth_ref[...] = best[0]
+        tid_ref[...] = best[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "chunk")
+)
+def rasterize_worklist(setup, screen_aabb, order, starts, counts, big_ids,
+                       n_big, *, tiles_y: int, tiles_x: int, z_bounds=None,
+                       chunk: int = 128, prebuilt=None):
+    """Raster from bin_sorted's ragged bins with the work-list kernel.
+
+    Like rasterize_stream but the grid enumerates actual windows, so there
+    is no kmax cap (overflow is structurally 0) and no dead grid steps.
+    Returns (depth, tid, overflow=0) for drop-in compatibility.
+    """
+    if prebuilt is not None:
+        rows, big_rows = prebuilt
+    else:
+        rows, big_rows, _ = build_stream_rows(
+            setup, screen_aabb, order, big_ids, attrs=None, chunk=chunk
+        )
+    ncols = rows.shape[1]
+    bpad = big_rows.shape[0]
+    ntiles = tiles_y * tiles_x
+    # static bound: every tile needs >= 1 window; the remainder is bounded
+    # by total rows / chunk (windows never overlap across tiles)
+    nw_max = ntiles + rows.shape[0] // chunk
+    wt, wk, wabs = _window_worklist(starts, counts, ntiles, chunk, nw_max)
+    sc = jnp.concatenate([wt, wk, wabs, n_big.astype(jnp.int32)[None]])
+
+    def rows_map(p, sc):
+        return (sc[2 * nw_max + p], 0)
+
+    def pix_map(p, sc):
+        return (sc[p] // tiles_x, sc[p] % tiles_x)
+
+    in_specs = [
+        pl.BlockSpec((chunk, ncols), rows_map),
+        pl.BlockSpec((bpad, ncols), lambda p, sc: (0, 0)),
+    ]
+    inputs = [sc, rows, big_rows]
+    kernel = functools.partial(
+        _raster_kernel_worklist, ntx=tiles_x, nw=nw_max, chunk=chunk
+    )
+    if z_bounds is not None:
+        H, W = tiles_y * TILE_H, tiles_x * TILE_W
+        zlo, zhi = z_bounds
+        if zlo.shape != (H, W):
+            ph, pw = H - zlo.shape[0], W - zlo.shape[1]
+            zlo = jnp.pad(zlo, ((0, ph), (0, pw)))
+            zhi = jnp.pad(zhi, ((0, ph), (0, pw)), constant_values=2.0)
+        in_specs += [
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+        ]
+        inputs += [zlo, zhi]
+
+        def kernel(sc_ref, rows_ref, big_ref, zlo_ref, zhi_ref,
+                   depth_ref, tid_ref):
+            return _raster_kernel_worklist(
+                sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
+                ntx=tiles_x, nw=nw_max, chunk=chunk,
+                zlo_ref=zlo_ref, zhi_ref=zhi_ref,
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nw_max,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+        ),
+    )
+    depth, tid = common.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32
+            ),
+        ),
+    )(*inputs)
+    return depth, tid, jnp.zeros((), jnp.int32)
+
+
 CHUNK_MXU = 128  # candidates per MXU test — one full lane tile
 
 
@@ -893,6 +1065,28 @@ def build_stream_rows(setup, screen_aabb, order, big_ids, attrs=None,
     return rows, big_rows, na
 
 
+def _resolve_accumulate(acc_ref, rows, rowg0, tid_row, start, end,
+                        use_range: bool, na: int):
+    """Accumulate rows whose id wins its pixel into acc scratch — the
+    one-hot MXU selection shared by the grid-k and work-list kernels."""
+    s_attr = rows[:, 17:17 + na]                  # (C, A)
+    ids = rows[:, 16:17]                          # (C, 1) float ids
+    match = (ids == tid_row) & (ids >= 0.0)       # (C, npix)
+    if use_range:
+        riota = jax.lax.broadcasted_iota(
+            jnp.int32, (rows.shape[0], 1), 0
+        ) + rowg0
+        match &= (riota >= start) & (riota < end)
+    onehot = match.astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        s_attr.T, onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (A, npix)
+    acc_ref[...] += contrib
+
+
 def _resolve_kernel(sc_ref, rows_ref, big_ref, tid_ref, par_ref, *refs,
                     ntx: int, ntiles: int, chunk: int, kmax: int,
                     na: int, npix: int):
@@ -912,22 +1106,8 @@ def _resolve_kernel(sc_ref, rows_ref, big_ref, tid_ref, par_ref, *refs,
     tid_row = tid_ref[...].reshape(1, npix).astype(jnp.float32)
 
     def accumulate(rows, rowg0, use_range):
-        s_attr = rows[:, 17:17 + na]                  # (C, A)
-        ids = rows[:, 16:17]                          # (C, 1) float ids
-        match = (ids == tid_row) & (ids >= 0.0)       # (C, npix)
-        if use_range:
-            riota = jax.lax.broadcasted_iota(
-                jnp.int32, (rows.shape[0], 1), 0
-            ) + rowg0
-            match &= (riota >= start) & (riota < end)
-        onehot = match.astype(jnp.float32)
-        contrib = jax.lax.dot_general(
-            s_attr.T, onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                              # (A, npix)
-        acc_ref[...] += contrib
+        _resolve_accumulate(acc_ref, rows, rowg0, tid_row, start, end,
+                            use_range, na)
 
     @pl.when(k == 0)
     def _():
@@ -940,6 +1120,13 @@ def _resolve_kernel(sc_ref, rows_ref, big_ref, tid_ref, par_ref, *refs,
 
     @pl.when(k == kmax - 1)
     def _():
+        _resolve_emit(outs, acc_ref, par_ref, ti, tj, na=na, npix=npix)
+
+
+def _resolve_emit(outs, acc_ref, par_ref, ti, tj, *, na: int, npix: int):
+    """Interpolate the accumulated winner rows and write all planes —
+    the final step shared by the grid-k and work-list resolve kernels."""
+    if True:
         a = acc_ref[...]
 
         def row(i):
@@ -1031,6 +1218,120 @@ def _resolve_kernel(sc_ref, rows_ref, big_ref, tid_ref, par_ref, *refs,
             w(26, row(20) * row(23) - row(22) * row(21))  # duv determinant
             w(27, row(48))                      # alpha cutoff (Masked)
             w(28, row(47))                      # opacity (Transparent)
+
+
+def _resolve_kernel_worklist(sc_ref, rows_ref, big_ref, tid_ref, par_ref,
+                             *refs, ntx: int, ntiles: int, nw: int,
+                             chunk: int, na: int, npix: int):
+    """Work-list resolve: grid (nw,) — one program per live window (see
+    _raster_kernel_worklist); emits planes at each tile's LAST window."""
+    outs = list(refs[:-1])
+    acc_ref = refs[-1]
+    p = pl.program_id(0)
+    t = sc_ref[p]
+    wk = sc_ref[nw + p]
+    wabs = sc_ref[2 * nw + p]
+    wlast = sc_ref[3 * nw + p]
+    start = sc_ref[4 * nw + t]
+    end = sc_ref[4 * nw + ntiles + t]
+    ti = t // ntx
+    tj = t - ti * ntx
+
+    tid_row = tid_ref[...].reshape(1, npix).astype(jnp.float32)
+
+    @pl.when(wk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        _resolve_accumulate(acc_ref, big_ref[...], 0, tid_row, start, end,
+                            use_range=False, na=na)
+
+    @pl.when(wk >= 0)
+    def _():
+        _resolve_accumulate(acc_ref, rows_ref[...], wabs * chunk, tid_row,
+                            start, end, use_range=True, na=na)
+
+    @pl.when(wlast == 1)
+    def _():
+        _resolve_emit(outs, acc_ref, par_ref, ti, tj, na=na, npix=npix)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_y", "tiles_x", "chunk", "na"),
+)
+def resolve_worklist(rows, big_rows, tid, starts, counts, n_big,
+                     inv_vp, camera_position, *, tiles_y: int, tiles_x: int,
+                     na: int, width: int, full_height: int, row0=0,
+                     chunk: int = 128):
+    """resolve_stream over the work-list grid: no kmax cap, no dead grid
+    steps. Returns the same plane dict (see _resolve_kernel write order)."""
+    ntiles = tiles_y * tiles_x
+    npix = TILE_H * TILE_W
+    starts = starts.astype(jnp.int32)
+    counts = counts.astype(jnp.int32)
+    nw_max = ntiles + rows.shape[0] // chunk
+    wt, wk, wabs = _window_worklist(starts, counts, ntiles, chunk, nw_max)
+    # last-window flag: next entry belongs to a different tile (or is the
+    # final live entry). Dead tail entries carry wk=-1 so they never match.
+    nxt = jnp.concatenate([wt[1:], jnp.full((1,), -1, jnp.int32)])
+    nxt_wk = jnp.concatenate([wk[1:], jnp.full((1,), -1, jnp.int32)])
+    wlast = ((wk >= 0) & ((nxt != wt) | (nxt_wk < 0))).astype(jnp.int32)
+    sc = jnp.concatenate([wt, wk, wabs, wlast, starts, starts + counts])
+
+    par = jnp.zeros((8, 128), jnp.float32)
+    par = par.at[0, 0:16].set(jnp.asarray(inv_vp, jnp.float32).reshape(16))
+    par = par.at[0, 16:19].set(jnp.asarray(camera_position, jnp.float32))
+    par = par.at[0, 19].set(1.0 / width)
+    par = par.at[0, 20].set(1.0 / full_height)
+    par = par.at[0, 21].set(jnp.asarray(row0, jnp.float32))
+
+    def rows_map(p, sc):
+        return (sc[2 * nw_max + p], 0)
+
+    def pix_map(p, sc):
+        return (sc[p] // tiles_x, sc[p] % tiles_x)
+
+    n_out = 29 if na >= _A_MAT else 13
+    apad = common.round_up(na, 8)
+    if rows.shape[1] < 17 + apad:
+        rows = jnp.pad(rows, ((0, 0), (0, 17 + apad - rows.shape[1])))
+        big_rows = jnp.pad(
+            big_rows, ((0, 0), (0, 17 + apad - big_rows.shape[1]))
+        )
+
+    H, W = tiles_y * TILE_H, tiles_x * TILE_W
+    if tid.shape != (H, W):
+        tid = jnp.pad(tid, ((0, H - tid.shape[0]), (0, W - tid.shape[1])),
+                      constant_values=-1)
+
+    kernel = functools.partial(
+        _resolve_kernel_worklist, ntx=tiles_x, ntiles=ntiles, nw=nw_max,
+        chunk=chunk, na=apad, npix=npix,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nw_max,),
+        in_specs=[
+            pl.BlockSpec((chunk, 17 + apad), rows_map),
+            pl.BlockSpec((big_rows.shape[0], 17 + apad),
+                         lambda p, sc: (0, 0)),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map),
+            pl.BlockSpec((8, 128), lambda p, sc: (0, 0)),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((TILE_H, TILE_W), pix_map) for _ in range(n_out)
+        ),
+        scratch_shapes=[pltpu.VMEM((apad, npix), jnp.float32)],
+    )
+    outs = common.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((H, W), jnp.float32) for _ in range(n_out)
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(sc, rows, big_rows, tid, par)
+    return outs
 
 
 @functools.partial(

@@ -88,6 +88,38 @@ def test_cull_point_light_localized():
     assert not sel0.all()
 
 
+def test_cull_two_level_matches_single_level():
+    """Supertile-shortlist culling == single-level when no supertile
+    overflows its shortlist (128 random lights, capacity 64 >= hits)."""
+    w, h = 12 * TILE, 8 * TILE
+    view, proj = _camera(w, h)
+    rng = np.random.default_rng(3)
+    n = 128
+    lights = Lights.from_host(
+        types=[DIRECTIONAL] + [POINT] * (n - 1),
+        positions=np.concatenate(
+            [[[0, 0, 0]], rng.uniform([-4, -1, -4], [4, 1, 4], (n - 1, 3))]
+        ),
+        directions=[[0, -1, 0]] * n,
+        intensities=[[5, 5, 5]] * n,
+        radii=[0.0] + list(rng.uniform(0.3, 1.2, n - 1)),
+    )
+    gb, hit, _ = _ground_gbuffer(w, h, view, proj)
+    lin_depth = jnp.where(
+        hit, -m3.transform_point(view, gb.world_position)[..., 2], 100.0
+    )
+    kw = dict(tiles_y=h // TILE, tiles_x=w // TILE, viewport=(w, h),
+              max_per_tile=32)
+    idx1, cnt1 = light_culling.cull_lights(
+        lights, view, jnp.linalg.inv(proj), lin_depth, **kw)
+    idx2, cnt2 = light_culling.cull_lights(
+        lights, view, jnp.linalg.inv(proj), lin_depth,
+        coarse_capacity=64, **kw)
+    # conservative coarse pass at ample capacity: identical selection
+    assert (np.asarray(cnt1) == np.asarray(cnt2)).all()
+    assert (np.asarray(idx1) == np.asarray(idx2)).all()
+
+
 def test_shade_directional_lambert_falloff():
     w, h = 4 * TILE, 4 * TILE
     view, proj = _camera(w, h)

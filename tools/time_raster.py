@@ -33,6 +33,7 @@ def main():
     objects = int(os.environ.get("TR_OBJECTS", "96"))
     chunk = int(os.environ.get("TR_CHUNK", "256"))
     mxu = os.environ.get("TR_MXU", "0") == "1"
+    worklist = os.environ.get("TR_WORKLIST", "0") == "1"
     K = int(os.environ.get("TR_K", "7"))
 
     scene = bench._build_scene(W, H, 8, objects)
@@ -51,7 +52,8 @@ def main():
 
     print(f"# tris={geo.indices.shape[0]} raster_slots={tri.valid.shape[0]} "
           f"TILE_H={tile_raster.TILE_H} chunk={chunk} kmax={kmax} "
-          f"tiles={tiles_y}x{tiles_x} mxu={mxu}", file=sys.stderr)
+          f"tiles={tiles_y}x{tiles_x} mxu={mxu} worklist={worklist}",
+          file=sys.stderr)
 
     rb0 = rsetup.bin_sorted(
         tri.valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
@@ -76,22 +78,36 @@ def main():
 
     def t_raster(z):
         tri2 = tri.replace(zplane=tri.zplane.at[:, 2].add(z * 1e-20))
-        d, t, _ = tile_raster.rasterize_stream(
-            tri2, aabb, *rb0[:5], tiles_y=tiles_y, tiles_x=tiles_x,
-            chunk=chunk, kmax=kmax,
-            prebuilt=(rows.at[:, 11].add(z * 1e-20), big_rows), mxu=mxu,
-        )
+        pre = (rows.at[:, 11].add(z * 1e-20), big_rows)
+        if worklist:
+            d, t, _ = tile_raster.rasterize_worklist(
+                tri2, aabb, *rb0[:5], tiles_y=tiles_y, tiles_x=tiles_x,
+                chunk=chunk, prebuilt=pre,
+            )
+        else:
+            d, t, _ = tile_raster.rasterize_stream(
+                tri2, aabb, *rb0[:5], tiles_y=tiles_y, tiles_x=tiles_x,
+                chunk=chunk, kmax=kmax, prebuilt=pre, mxu=mxu,
+            )
         return d.sum() + t.sum()
 
     tid_const = None
 
     def t_resolve(z):
-        ps = tile_raster.resolve_stream(
-            rows.at[:, 17].add(z * 1e-20), big_rows, tid_const,
-            rb0[1], rb0[2], rb0[4], inv_vp, cam,
-            tiles_y=tiles_y, tiles_x=tiles_x, na=na, width=W,
-            full_height=H, chunk=chunk, kmax=kmax,
-        )
+        if worklist:
+            ps = tile_raster.resolve_worklist(
+                rows.at[:, 17].add(z * 1e-20), big_rows, tid_const,
+                rb0[1], rb0[2], rb0[4], inv_vp, cam,
+                tiles_y=tiles_y, tiles_x=tiles_x, na=na, width=W,
+                full_height=H, chunk=chunk,
+            )
+        else:
+            ps = tile_raster.resolve_stream(
+                rows.at[:, 17].add(z * 1e-20), big_rows, tid_const,
+                rb0[1], rb0[2], rb0[4], inv_vp, cam,
+                tiles_y=tiles_y, tiles_x=tiles_x, na=na, width=W,
+                full_height=H, chunk=chunk, kmax=kmax,
+            )
         return sum(p.sum() for p in ps)
 
     # a real tid map for the resolve
