@@ -184,13 +184,148 @@ def _build_content_scene(width, height, num_lights, instances, rng_seed=13):
     return SceneView.create(geo, lights, frame, sky=sky, materials=materials)
 
 
+SPONZA_MTL = "/root/reference/Content/Models/Sponza/sponza.mtl"
+
+
+def _build_sponza_scene(width, height, num_lights, rng_seed=17):
+    """Sponza-materials atrium: the REFERENCE's actual Sponza material
+    library (25 materials, ~70 real 1-2K textures: bricks/columns/fabrics/
+    foliage masks/ORM maps via assets/objmtl) on a reconstructed atrium.
+    The reference's sponza.obj geometry is NOT vendored (only its .asset
+    sidecar ships), so the architecture is rebuilt procedurally — the
+    material/texture-count axis, which is what separates Sponza-class
+    scenes from single-texture content, is the real thing.
+    Reference: Content/Models/Sponza/, ModelImporter.cpp:382-520."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sailor_tpu.assets import objmtl, primitives
+    from sailor_tpu.assets.materials import MaterialTable
+    from sailor_tpu.core import math3d as m3
+    from sailor_tpu.kernels.lights import DIRECTIONAL, POINT, Lights
+    from sailor_tpu.kernels.sky import SkyParams
+    from sailor_tpu.raster.setup import Geometry
+    from sailor_tpu.rhi.scene_view import SceneView
+    from sailor_tpu.rhi.types import FrameData
+
+    table, images, names = objmtl.load_mtl(SPONZA_MTL)
+    rng = np.random.default_rng(rng_seed)
+
+    def T(x, y, z, rx=0.0, ry=0.0, sx=1.0, sy=1.0, sz=1.0):
+        c, s = np.cos(ry), np.sin(ry)
+        r = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        if rx:
+            cx, sxn = np.cos(rx), np.sin(rx)
+            r = r @ np.asarray(
+                [[1, 0, 0], [0, cx, -sxn], [0, sxn, cx]], np.float32)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = r @ np.diag([sx, sy, sz]).astype(np.float32)
+        m[:3, 3] = [x, y, z]
+        return m
+
+    items, mids = [], []
+
+    def add(mesh, mat_name, t):
+        items.append((mesh, t))
+        mids.append(names[mat_name])
+
+    # atrium shell: floor, two long walls, ceiling strip, roof slabs
+    add(primitives.plane(44.0, uv_scale=14.0), "floor", T(0, 0, 0))
+    wall = primitives.cube(1.0)
+    for z in (-11.0, 11.0):
+        add(wall, "bricks", T(0, 2.5, z, sx=44.0, sy=5.0, sz=0.5))
+    add(wall, "bricks", T(-22.0, 2.5, 0, sx=0.5, sy=5.0, sz=22.0))
+    add(wall, "bricks", T(22.0, 2.5, 0, sx=0.5, sy=5.0, sz=22.0))
+    # side galleries are covered; the wide nave is OPEN to the sky (the
+    # real Sponza is an open courtyard — sunlight is the main illuminant)
+    for z in (-9.2, 9.2):
+        add(wall, "ceiling", T(0, 7.0, z, sx=44.0, sy=0.4, sz=2.6))
+        add(wall, "roof", T(0, 7.5, z, sx=44.5, sy=0.3, sz=3.0))
+
+    # two colonnades: column_a/b/c alternating, arches as lintels
+    col = primitives.cylinder(0.45, 6.4, sectors=20, uv_scale=2.0)
+    base = primitives.cube(1.0)
+    for i in range(9):
+        x = -16.0 + 4.0 * i
+        for z in (-7.2, 7.2):
+            kind = ("column_a", "column_b", "column_c")[i % 3]
+            add(col, kind, T(x, 3.2, z))
+            add(base, "details", T(x, 0.3, z, sx=1.1, sy=0.6, sz=1.1))
+            add(base, "arch", T(x, 6.7, z, sx=4.2, sy=0.6, sz=1.0))
+
+    # hanging fabrics (banners) down the nave + curtains on one wall
+    fabrics = ["fabric_a", "fabric_c", "fabric_d", "fabric_e",
+               "fabric_f", "fabric_g"]
+    banner = primitives.quad(2.2, 3.0)
+    for i, f in enumerate(fabrics):
+        x = -12.5 + 5.0 * i
+        add(banner, f, T(x, 5.2, -7.05))
+        add(banner, fabrics[(i + 3) % 6], T(x, 5.2, 7.05))
+
+    # foliage cards (leaf — Masked queue, real alpha mask) + vases
+    leafq = primitives.quad(1.6, 1.6)
+    for i in range(10):
+        x = rng.uniform(-15, 15)
+        z = rng.uniform(-3.5, 3.5)
+        add(leafq, "leaf", T(x, rng.uniform(1.0, 2.2), z,
+                             ry=rng.uniform(0, np.pi)))
+    vase = primitives.uv_sphere(0.5, 12, 24)
+    for i in range(6):
+        add(vase, "vase_round", T(-14.0 + 5.6 * i, 0.9, 0.0, sy=1.4))
+        add(vase, "vase_hanging",
+            T(-14.0 + 5.6 * i, 6.0, -5.0, sx=0.5, sy=0.7, sz=0.5))
+    pole = primitives.cylinder(0.07, 3.4, sectors=10)
+    for i in range(6):
+        add(pole, "flagpole", T(-12.5 + 5.0 * i, 6.9, -7.05, rx=0.9))
+
+    soup = primitives.merge(items, material_ids=mids)
+    materials = MaterialTable.from_host(table, images, texture_size=256)
+    geo = Geometry(
+        position=jnp.asarray(soup["position"]),
+        normal=jnp.asarray(soup["normal"]),
+        uv=jnp.asarray(soup["uv"]),
+        color=jnp.asarray(soup["color"]),
+        indices=jnp.asarray(soup["indices"]),
+        material_id=jnp.asarray(soup["material_id"]),
+    )
+    n = num_lights
+    lp = np.stack(
+        [rng.uniform(-16, 16, n), rng.uniform(0.4, 7.0, n),
+         rng.uniform(-6, 6, n)], -1,
+    )
+    lights = Lights.from_host(
+        types=[DIRECTIONAL] + [POINT] * n,
+        positions=np.concatenate([[[0, 0, 0]], lp]),
+        directions=np.concatenate(
+            [[[-0.2, -0.95, -0.12]], np.tile([[0, -1, 0]], (n, 1))]),
+        intensities=np.concatenate(
+            [[[9.0, 8.4, 7.2]], rng.uniform(0.4, 1, (n, 3)) * 9]),
+        attenuations=[[1, 0, 0.9]] * (n + 1),
+        radii=[0.0] + list(rng.uniform(1.5, 4.0, n)),
+    )
+    cam = jnp.asarray([16.0, 3.0, 0.0])
+    view = m3.look_at(cam, jnp.asarray([-16.0, 1.2, -0.5]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective(jnp.pi / 3, width / height, 0.1, 150.0)
+    frame = FrameData.create(view, proj, cam, 0.1, 150.0, dt=1 / 60)
+    sky = SkyParams.default(sun_direction=(-0.5, -0.72, -0.3))
+    print(
+        f"# sponza-materials atrium: {geo.indices.shape[0]} tris, "
+        f"{len(images)} real textures, {len(names)} materials, {n} lights, "
+        f"{width}x{height}", file=sys.stderr,
+    )
+    return SceneView.create(geo, lights, frame, sky=sky, materials=materials)
+
+
 def bench_forward(width, height, num_lights, num_objects, frames,
-                  content=False, instances=60):
+                  content=False, instances=60, sponza=False):
     import jax
 
     from sailor_tpu.framegraph import FrameGraph, FrameGraphAsset
 
-    if content:
+    if sponza:
+        scene = _build_sponza_scene(width, height, num_lights)
+    elif content:
         scene = _build_content_scene(width, height, num_lights, instances)
     else:
         scene = _build_scene(width, height, num_lights, num_objects)
@@ -277,7 +412,8 @@ def bench_forward(width, height, num_lights, num_objects, frames,
         _print_roofline(scene, targets, width, height, fps)
     except Exception as e:
         print(f"# roofline estimate failed: {e}", file=sys.stderr)
-    tag = " textured-GLTF" if content else ""
+    tag = (" sponza-materials" if sponza
+           else " textured-GLTF" if content else "")
     return {
         "metric": f"forward+{tag} FPS @{width}x{height}, {num_lights} lights",
         "value": round(fps, 2),
@@ -477,6 +613,16 @@ def main():
                 extra.append(ct)
             except Exception as e:
                 print(f"# content benchmark failed: {e}", file=sys.stderr)
+        if os.path.exists(SPONZA_MTL) and not args.small:
+            # the reference's ACTUAL Sponza material/texture library on a
+            # reconstructed atrium (geometry is not vendored upstream)
+            try:
+                sp = bench_forward(1920, 1088, 1000, 0, args.frames,
+                                   sponza=True)
+                print("# sponza: " + json.dumps(sp), file=sys.stderr)
+                extra.append(sp)
+            except Exception as e:
+                print(f"# sponza benchmark failed: {e}", file=sys.stderr)
     # warm-start proof (VERDICT r3 #4): a FRESH process reusing the AOT
     # cache just written by the timed run — expect seconds, not minutes.
     if not args.small:

@@ -820,7 +820,14 @@ def render_cached(scene, camera_pos, view, proj, *, width: int, height: int,
     if sample_batch is None:
         sample_batch = int(os.environ.get("SAILOR_TRACE_SAMPLE_BATCH", "1"))
     if sort_bounces is None:
-        sort_bounces = os.environ.get("SAILOR_TRACE_BOUNCE_SORT", "0") == "1"
+        # default ON with the sweep intersector: one wavefront sort serves
+        # the next bounce's closest-hit AND shadow dispatch — driver-
+        # measured 2.54 -> 2.87 Mrays/s on the 512^2/64spp bench (r4);
+        # sample_batch pooling measured WORSE (1.6-1.9) and stays off.
+        sort_bounces = (
+            scene.sweep is not None
+            and os.environ.get("SAILOR_TRACE_BOUNCE_SORT", "1") == "1"
+        )
     if swizzle is None:
         swizzle = (
             scene.sweep is not None
