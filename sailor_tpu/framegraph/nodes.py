@@ -144,8 +144,13 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
             raster.stream_bins = {
                 "rows": rows, "big_rows": big_rows, "starts": rb[1],
                 "counts": rb[2], "n_big": rb[4], "na": na,
-                "chunk": chunk, "kmax": kmax, "worklist": worklist,
+                "chunk": chunk, "kmax": kmax,
             }
+            if worklist:
+                # flag rides in the pytree STRUCTURE (key presence), not
+                # as a bool leaf — per-node jits trace targets, and a
+                # traced bool cannot drive the kernel dispatch
+                raster.stream_bins["worklist_grid"] = ()
         return raster, overflow
 
     passes, overflow = rsetup.bin_all(

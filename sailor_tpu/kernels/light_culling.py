@@ -191,25 +191,48 @@ def cull_lights(
         sl_live = (short >> id_bits) < L
 
         # ---- fine pass over the shortlist only ----
-        # expand supertile shortlists to their member tiles
-        ty_ix = jnp.arange(tiles_y) // SUPER
-        tx_ix = jnp.arange(tiles_x) // SUPER
-        t_short = short[ty_ix][:, tx_ix]                    # (Ty, Tx, cc)
-        t_id = sl_id[ty_ix][:, tx_ix]
-        t_live = sl_live[ty_ix][:, tx_ix]
-        p_sl = pos_vs[t_id]                                 # (Ty, Tx, cc, 3)
-        r_sl = lights.radius[t_id]
-        z_sl = z[t_id]
-        dir_sl = is_dir[t_id]
+        # Gather light data ONCE at SUPERTILE granularity ((Sy*Sx*cc)-row
+        # packed gather — per-TILE gathers would be 16x the rows, ~14 ms
+        # of pure HBM latency at 1080p/1k lights), then broadcast to
+        # member tiles densely through reshape (no data movement).
+        ldata = jnp.concatenate(
+            [pos_vs, lights.radius[:, None], z[:, None],
+             is_dir.astype(jnp.float32)[:, None]], axis=1,
+        )  # (L, 6)
+        sl = ldata[sl_id]                                   # (Sy, Sx, cc, 6)
+        p_sl, r_sl = sl[..., 0:3], sl[..., 3]
+        z_sl, dir_sl = sl[..., 4], sl[..., 5] > 0.5
 
-        side = jnp.einsum("abpk,abck->abpc", planes[..., :3], p_sl)
-        in_sides = jnp.all(side >= -r_sl[:, :, None, :], axis=2)
+        # tile planes grouped by supertile: (Sy, S, Sx, S, 4, 3)
+        pp = jnp.pad(planes[..., :3],
+                     ((0, sy * SUPER - tiles_y), (0, sx * SUPER - tiles_x),
+                      (0, 0), (0, 0)))
+        pp = pp.reshape(sy, SUPER, sx, SUPER, 4, 3)
+        side = jnp.einsum("aAbBpk,abck->aAbBpc", pp, p_sl)
+        in_sides = jnp.all(
+            side >= -r_sl[:, None, :, None, None, :], axis=4
+        )                                                   # (Sy,S,Sx,S,cc)
+        zp0 = jnp.pad(z0, ((0, sy * SUPER - tiles_y),
+                           (0, sx * SUPER - tiles_x)),
+                      constant_values=jnp.inf)
+        zp1 = jnp.pad(z1, ((0, sy * SUPER - tiles_y),
+                           (0, sx * SUPER - tiles_x)),
+                      constant_values=-jnp.inf)
+        zp0 = zp0.reshape(sy, SUPER, sx, SUPER)
+        zp1 = zp1.reshape(sy, SUPER, sx, SUPER)
         in_depth = (
-            (z_sl + r_sl >= z0[..., None]) & (z_sl - r_sl <= z1[..., None])
+            (z_sl[:, None, :, None] + r_sl[:, None, :, None]
+             >= zp0[..., None])
+            & (z_sl[:, None, :, None] - r_sl[:, None, :, None]
+               <= zp1[..., None])
         )
-        hit = ((in_sides & in_depth) | dir_sl) & t_live
-        keys = jnp.where(hit.reshape(ntiles, cc),
-                         t_short.reshape(ntiles, cc), sentinel)
+        hit = ((in_sides & in_depth) | dir_sl[:, None, :, None]) \
+            & sl_live[:, None, :, None]
+        keys = jnp.where(hit, short[:, None, :, None], sentinel)
+        # back to (Ty*Tx, cc), dropping the supertile padding
+        keys = keys.transpose(0, 1, 2, 3, 4).reshape(
+            sy * SUPER, sx * SUPER, cc
+        )[:tiles_y, :tiles_x].reshape(ntiles, cc)
     else:
         # ---- single-level: (Ty, Tx, 4, L) signed distances ----
         side = jnp.einsum("abpk,lk->abpl", planes[..., :3], pos_vs)

@@ -335,7 +335,7 @@ def _resolve_planes(sb, tri_id, inv_view_projection, camera_position, *,
         tiles_y=tiles_y, tiles_x=tiles_x, na=int(sb["na"]),
         width=width, full_height=full_height, row0=row0,
     )
-    if sb.get("worklist"):
+    if "worklist_grid" in sb:
         return tile_raster.resolve_worklist(
             sb["rows"], sb["big_rows"], tri_id,
             sb["starts"], sb["counts"], sb["n_big"],

@@ -33,3 +33,38 @@ jax.config.update("jax_enable_x64", False)
 from sailor_tpu.assets import shader_cache  # noqa: E402
 
 shader_cache.rescope_for_cpu()
+
+
+# ---------------------------------------------------------------------------
+# Known XLA:CPU instability retry (VERDICT r3 #5): after a few hundred
+# compiles a process can drop fusion symbols from already-loaded
+# executables ("Buffer Definition Event: Function ... not found"). The
+# failure is an artifact of the long-lived test process, not of the code
+# under test (every such test passes in a fresh process). Detect that
+# exact signature, clear jax's executable caches (forcing a retrace +
+# recompile), and retry the test once in place.
+# ---------------------------------------------------------------------------
+from _pytest.runner import runtestprotocol  # noqa: E402
+
+
+def _is_xla_cpu_instability(report) -> bool:
+    text = str(getattr(report, "longrepr", "") or "")
+    return ("Buffer Definition Event" in text
+            or "backend_compile_and_load" in text)
+
+
+def pytest_runtest_protocol(item, nextitem):
+    reports = runtestprotocol(item, nextitem=nextitem, log=False)
+    if any(r.failed and _is_xla_cpu_instability(r) for r in reports):
+        import warnings
+
+        import jax as _jax
+
+        warnings.warn(
+            f"retrying {item.nodeid} after XLA:CPU fusion-symbol drop"
+        )
+        _jax.clear_caches()
+        reports = runtestprotocol(item, nextitem=nextitem, log=False)
+    for r in reports:
+        item.ihook.pytest_runtest_logreport(report=r)
+    return True
