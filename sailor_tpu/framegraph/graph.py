@@ -468,16 +468,16 @@ class FrameGraph:
             # occluder", culls nothing) so the jit signature is stable
             # between frame 1 and frame 2 — the shapes MUST match what
             # DepthHighZNode publishes (build_min_pyramid of the Depth
-            # target, culling levels = mips[2:5]).
+            # target, culling levels = mips[2:]).
             from sailor_tpu.kernels import sampling as _s
 
-            levels = 5
+            levels = 8
             for n in self.nodes:
                 if n.node_name == "DepthHighZ":
-                    levels = int(n.p("levels", 5))
+                    levels = int(n.p("levels", 8))
             mips = _s.build_min_pyramid(
                 jnp.zeros((self.height, self.width), jnp.float32), levels
             )
-            for i, m in enumerate(mips[2:5]):
+            for i, m in enumerate(mips[2:]):
                 state[f"hiz/mip{i}"] = m
         return state

@@ -44,6 +44,11 @@ class TriangleSetup:
     zplane: jnp.ndarray  # (2T, 3) reverse-Z depth plane: z = A x + B y + C
     valid: jnp.ndarray   # (2T,) live (on-screen, front-facing) triangles
     src_id: jnp.ndarray  # (2T,) source triangle index
+    zmax: jnp.ndarray    # (2T,) EXACT max vertex reverse-Z — z is affine
+                         # in screen space, so the triangle max is at a
+                         # vertex; HiZ culling needs this (plane-over-AABB
+                         # extrapolation was too loose in the far field,
+                         # where reverse-Z margins are ~1e-3)
 
 
 def transform_vertices(positions, normals, model, view_projection):
@@ -240,6 +245,7 @@ def triangle_setup(
         zplane=zplane,
         valid=valid,
         src_id=src_id,
+        zmax=jnp.clip(jnp.max(tz, axis=-1), 0.0, 1.0),
     ), (xmin, xmax, ymin, ymax)
 
 

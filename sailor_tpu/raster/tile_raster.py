@@ -388,6 +388,13 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
                 (tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32
             ),
         ),
+        # the mxu variant's (PX, 1) winner scratch lane-pads to ~4 MB per
+        # buffer at TILE_H=64 and brushes the 16 MB default scoped limit;
+        # v5e has 128 MB physical VMEM (same override as resolve/sweep)
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20)
+            if mxu else None
+        ),
     )(*inputs)
     return depth, tid, overflow
 

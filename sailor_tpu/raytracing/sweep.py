@@ -205,7 +205,6 @@ def _sweep_kernel(sc_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
     )
     gs = gs_ref[...]                    # (24, Tb)
     gp = gp_ref[...]                    # (16, Tb)
-    live = (id_ref[...] >= 0)           # (1, Tb)
     cid = sc_ref[n_blocks * nsub * n_clusters + b * n_clusters + c]
 
     for s in range(nsub):
@@ -223,12 +222,20 @@ def _sweep_kernel(sc_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
             num = dot(fp, gp[0:8])
             den = dot(fp, gp[8:16])
 
-            pos = (s0 >= 0.0) & (s1 >= 0.0) & (s2 >= 0.0)
-            neg = (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
-            safe_den = jnp.where(den == 0.0, 1.0, den)
-            tval = num / safe_den
+            # The post-dot mask/update chain is the kernel's measured
+            # bound (the skinny dots are a few % of MXU peak), so it is
+            # kept minimal: sign agreement via min/max instead of six
+            # compares, and NO explicit pad-liveness term (build() zeroes
+            # pad columns' plane rows, so their den == 0 rejects them).
+            # The t ratio stays an EXACT divide: an approx reciprocal's
+            # 2^-12 slop interacts with the best-t early-out and was
+            # measured dropping true winners on near-ties.
+            agree = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
+                jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
+            )
+            tval = num / jnp.where(den == 0.0, 1.0, den)
             best = t_ref[pl.ds(s * SUB, SUB), :]   # (SUB, 1)
-            ok = (pos | neg) & (den != 0.0) & live \
+            ok = agree & (den != 0.0) \
                 & (tval > 1e-4) & (tval < best)
             if any_hit:
                 # occlusion query: any valid intersection in (eps, t_max)
