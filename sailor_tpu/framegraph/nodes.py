@@ -105,6 +105,11 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
     if mode == "stream":
         worklist = bool(config.get("raster_worklist", True))
         chunk = int(config.get("stream_chunk", 128 if worklist else 256))
+        # the RESOLVE's per-window cost is dominated by fixed step overhead
+        # (its one-hot MACs scale with total rows, not window size), so it
+        # walks the SAME rows array in bigger windows; pad to the lcm
+        rchunk = int(config.get("resolve_chunk", max(chunk, 256)))
+        assert rchunk % chunk == 0, "resolve_chunk must be a multiple"
         kmax = max(1, -(-(capacity * rounds) // chunk))
         rb = rsetup.bin_sorted(
             valid, aabb, tiles_x=tiles_x, tiles_y=tiles_y,
@@ -121,7 +126,8 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
         prebuilt = None
         if attrs is not None:
             rows, big_rows, na = tile_raster.build_stream_rows(
-                tri, aabb, rb[0], rb[3], attrs=attrs, chunk=chunk
+                tri, aabb, rb[0], rb[3], attrs=attrs,
+                chunk=rchunk if worklist else chunk,
             )
             prebuilt = (rows, big_rows)
 
@@ -144,7 +150,7 @@ def _make_raster(tri, valid, aabb, tiles_y, tiles_x, config, *,
             raster.stream_bins = {
                 "rows": rows, "big_rows": big_rows, "starts": rb[1],
                 "counts": rb[2], "n_big": rb[4], "na": na,
-                "chunk": chunk, "kmax": kmax,
+                "chunk": rchunk if worklist else chunk, "kmax": kmax,
             }
             if worklist:
                 # flag rides in the pytree STRUCTURE (key presence), not

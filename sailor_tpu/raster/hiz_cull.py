@@ -108,7 +108,11 @@ def occlusion_cull(
     # 2x2 fetch). The <= 2x2 footprint min then needs ONE row gather at
     # (ty0, tx0) instead of four (gathers are row-count latency bound:
     # 4x ~100k-row fetches measured 2.7 ms of the 1080p frame; the dense
-    # prefilter over the ~0.7M-texel pyramid is VPU noise).
+    # prefilter over the ~0.7M-texel pyramid is VPU noise). NOTE: for
+    # footprints spanning only 1 texel on an axis the prefiltered fetch
+    # mins in one extra neighbor texel — slightly MORE conservative than
+    # a per-texel fetch (never culls a visible triangle; can keep a few
+    # hidden ones — advisor r3).
     mins = []
     for off, (hm, wm) in zip(offsets, shapes):
         m = jax.lax.slice(flat_pyramid, (off,), (off + hm * wm,))

@@ -610,23 +610,41 @@ def _trace_one_sample(scene, origin, direction, keys, max_bounces, ray_count,
         if sort_bounces and bounce < max_bounces - 1:
             # permute the WHOLE wavefront for the next bounce: one sort
             # serves its closest-hit AND shadow dispatch; dead rays pack
-            # to the tail where whole sub-blocks go dark in the sweep
+            # to the tail where whole sub-blocks go dark in the sweep.
+            # State is PACKED into one (R, C) matrix first: TPU gathers
+            # are row-count bound, so one wide permute costs what one
+            # narrow column did — the previous 10-14 per-column gathers
+            # were ~80% of the sort's cost.
             skey = _bounce_sort_key(scene, origin, direction, live)
             iota = jnp.arange(r, dtype=jnp.int32)
             _, perm = jax.lax.sort_key_val(skey, iota)
             cols = [origin, direction, throughput, radiance,
-                    live, orig_idx]
+                    live.astype(jnp.float32)[:, None],
+                    jax.lax.bitcast_convert_type(
+                        orig_idx, jnp.float32)[:, None]]
             if volumes:
-                cols += [med_absorb, med_scatter, med_g, in_medium]
+                cols += [med_absorb, med_scatter[:, None], med_g[:, None],
+                         in_medium.astype(jnp.float32)[:, None]]
             if use_cone:
-                cols.append(dist)
-            cols = [c[perm] for c in cols]
-            origin, direction, throughput, radiance, live, orig_idx = \
-                cols[:6]
-            if use_cone:
-                dist = cols.pop()
+                cols.append(dist[:, None])
+            packed_state = jnp.concatenate(cols, axis=1)[perm]
+            origin = packed_state[:, 0:3]
+            direction = packed_state[:, 3:6]
+            throughput = packed_state[:, 6:9]
+            radiance = packed_state[:, 9:12]
+            live = packed_state[:, 12] > 0.5
+            orig_idx = jax.lax.bitcast_convert_type(
+                packed_state[:, 13], jnp.int32
+            )
+            o = 14
             if volumes:
-                med_absorb, med_scatter, med_g, in_medium = cols[6:]
+                med_absorb = packed_state[:, o:o + 3]
+                med_scatter = packed_state[:, o + 3]
+                med_g = packed_state[:, o + 4]
+                in_medium = packed_state[:, o + 5] > 0.5
+                o += 6
+            if use_cone:
+                dist = packed_state[:, o]
 
         # SCHEDULING BARRIER: the next bounce's closest-hit pass is data-
         # independent of this bounce's shadow pass, and XLA schedules such
