@@ -249,3 +249,36 @@ def test_obj_mtl_sponza_material_library():
     a = images[table["albedo_texture"][leaf]]
     assert a.shape[-1] == 4 and (a[..., 3] < 0.5).any()  # real mask folded
     assert len(images) >= 20
+
+
+def test_fbx_load_reference_content():
+    """The reference's shipped binary FBX models parse: geometry layers,
+    per-polygon materials, name-convention textures (assets/fbx.py;
+    ModelImporter.cpp loads the same files through assimp)."""
+    import os
+
+    import pytest
+
+    from sailor_tpu.assets import fbx
+
+    cer = "/root/reference/Content/Models/Cerberus/cerberus.fbx"
+    art = "/root/reference/Content/Models/KnightArtorias/Artorias.fbx"
+    if not (os.path.exists(cer) and os.path.exists(art)):
+        pytest.skip("reference FBX content not present")
+
+    soup, table, images = fbx.load_merged(cer)
+    assert soup["indices"].shape[0] > 30000
+    n = np.linalg.norm(soup["normal"], axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-3)
+    assert soup["uv"].min() >= -4 and soup["uv"].max() <= 8
+
+    soup, table, images = fbx.load_merged(art)
+    assert soup["indices"].shape[0] > 30000
+    assert len(table["albedo"]) == 6            # six named materials
+    assert (table["albedo_texture"] >= 0).sum() >= 4   # real texture set
+    assert (table["normal_texture"] >= 0).sum() >= 1
+    assert (table["orm_texture"] >= 0).sum() >= 4
+    assert len(images) >= 10
+    # material ids reference real rows and vary across the mesh
+    assert set(np.unique(soup["material_id"])) <= set(range(6))
+    assert len(np.unique(soup["material_id"])) >= 4
