@@ -53,10 +53,42 @@ class MaterialTable:
     tex_wrap: jnp.ndarray | None = None   # (N,) int32 0=repeat 1=clamp
     tex_filter: jnp.ndarray | None = None  # (N,) int32 0=bilinear 1=nearest
     mip_sizes: tuple = struct.field(pytree_node=False, default=())
+    # Combined per-material quad rows: row (group, level, y, x) packs the
+    # full 2x2 bilinear footprint of EVERY map the material samples
+    # (albedo RGBA quad = 16 floats [+ tangent-space normal RGB quad = 12]),
+    # neighbors wrap-folded at build time. One trilinear material fetch is
+    # then TWO row gathers instead of 16 — the per-pixel gather op (~13 ms
+    # per (H*W)-row gather at 1080p on v5e, row width free) is the entire
+    # texture cost, so packing taps into rows is the TPU-native sampler.
+    tex_quad: jnp.ndarray | None = None    # (G * TPL, 16|28) f32
+    quad_group: jnp.ndarray | None = None  # (M,) int32 material -> group
+    quad_wrap: jnp.ndarray | None = None   # (G,) int32 0=repeat 1=clamp
+    quad_filter: jnp.ndarray | None = None  # (G,) int32 0=bilinear 1=nearest
+    quad_has_normal: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def has_mips(self) -> bool:
         return self.tex_lod is not None and len(self.mip_sizes) > 1
+
+    @property
+    def has_quad(self) -> bool:
+        return self.tex_quad is not None and len(self.mip_sizes) > 1
+
+    def sample_combined(self, mat_id, uv, lod):
+        """One-call material fetch from the combined quad stack: returns
+        (albedo RGBA, tangent-space normal in [-1,1] or None, has_normal
+        mask). Two row gathers total (trilinear), all maps included."""
+        g = self.quad_group[mat_id]
+        offs = ((0, 4), (16, 3)) if self.quad_has_normal else ((0, 4),)
+        out = sample_quad_blocks(
+            self.tex_quad, self.mip_sizes, offs, g, uv, lod,
+            wrapc=self.quad_wrap[g] == 1,
+            nearest=self.quad_filter[g] == 1,
+        )
+        if self.quad_has_normal:
+            return (out[0], out[1] * 2.0 - 1.0,
+                    self.normal_texture[mat_id] >= 0)
+        return out[0], None, jnp.zeros(mat_id.shape, bool)
 
     def sample_normal(self, mat_id, uv, lod=None):
         """Tangent-space normal from the material's normal map; returns
@@ -89,8 +121,12 @@ class MaterialTable:
         met = self.metallic[mat_id]
         rough = self.roughness[mat_id]
         emis = self.emissive[mat_id]
-        layer = self.albedo_texture[mat_id]             # (H, W)
-        if self.textures.shape[0] > 0:
+        if self.has_quad and lod is not None:
+            tex, _, _ = self.sample_combined(mat_id, uv, lod)
+            alb = alb * tex[..., :3]
+            alpha = tex[..., 3]
+        elif self.textures.shape[0] > 0:
+            layer = self.albedo_texture[mat_id]         # (H, W)
             tex = self.sample_texture(layer, uv, lod)
             alb = alb * jnp.where((layer >= 0)[..., None], tex[..., :3], 1.0)
             alpha = jnp.where(layer >= 0, tex[..., 3], 1.0)
@@ -123,7 +159,20 @@ class MaterialTable:
                 continue
             wrap[i] = 1 if str(meta.get("clamping", "Repeat")).lower() == "clamp" else 0
             filt[i] = 1 if str(meta.get("filtration", "Bilinear")).lower() == "nearest" else 0
+        tex_quad = quad_group = quad_wrap = quad_filter = None
+        quad_has_normal = False
+        a_tex = np.asarray(table.get("albedo_texture", np.full(m, -1, np.int32)))
+        n_tx = np.asarray(table.get("normal_texture", np.full(m, -1, np.int32)))
+        if mips and n_tex:
+            (tex_quad, quad_group, quad_wrap, quad_filter,
+             quad_has_normal, _qs) = build_quad_stack(
+                np.asarray(textures), a_tex, n_tx, wrap, filt)
         return cls(
+            tex_quad=tex_quad,
+            quad_group=quad_group,
+            quad_wrap=quad_wrap,
+            quad_filter=quad_filter,
+            quad_has_normal=quad_has_normal,
             tex_lod=tex_lod,
             tex_wrap=jnp.asarray(wrap) if n_tex else None,
             tex_filter=jnp.asarray(filt) if n_tex else None,
@@ -238,6 +287,187 @@ def build_mip_stack(stack: np.ndarray):
         per_layer.append(np.concatenate(rows, axis=0))
     flat = np.concatenate(per_layer, axis=0).astype(np.float32)
     return jnp.asarray(flat), tuple(sizes)
+
+
+def _mip_chain(img: np.ndarray, sizes) -> list:
+    """Box-filtered pyramid of one (S, S, C) image for the shared size
+    list (TextureImporter.cpp:247's import-time chain)."""
+    out = [img]
+    cur = img
+    for _ in sizes[1:]:
+        h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+        cur = cur.reshape(h2, 2, w2, 2, -1).mean(axis=(1, 3))
+        out.append(cur)
+    return out
+
+
+def _quad_fold(img: np.ndarray, clamp: bool) -> np.ndarray:
+    """(S, S, C) -> (S*S, 4C) rows [c00|c10|c01|c11] with the +1 neighbor
+    folded by the texture's wrap mode."""
+    if clamp:
+        s = img.shape[0]
+        nx = np.minimum(np.arange(s) + 1, s - 1)
+        right = img[:, nx]
+        down = img[nx]
+        diag = img[nx][:, nx]
+    else:
+        right = np.roll(img, -1, axis=1)
+        down = np.roll(img, -1, axis=0)
+        diag = np.roll(right, -1, axis=0)
+    q = np.concatenate([img, right, down, diag], axis=-1)
+    return q.reshape(-1, q.shape[-1])
+
+
+def build_quad_stack_blocks(textures: np.ndarray, blocks: list,
+                            wrap: np.ndarray, filt: np.ndarray):
+    """Combined per-material quad mip stack over arbitrary channel blocks.
+
+    ``textures``: (N, S, S, 4) linear mip-0 layers. ``blocks``: list of
+    (layers (M,) int, nch, neutral tuple) — one entry per map kind the
+    consumer samples (albedo, normal, ORM, emissive...); a block whose
+    layers are all -1 is dropped. Materials dedupe to unique layer-tuple
+    groups; each group's rows pack the 2x2 bilinear footprint of every
+    included block at every (level, texel), neighbors folded by the wrap
+    mode, missing maps filled with their neutral so the sampler needs no
+    per-map masking. Returns (rows f32, group (M,), gwrap, gfilt,
+    block_offsets tuple of (off, nch), sizes)."""
+    s = textures.shape[1]
+    sizes = []
+    cur = s
+    while cur >= MIN_MIP:
+        sizes.append(cur)
+        if cur == MIN_MIP:
+            break
+        cur //= 2
+
+    live = [(np.asarray(ls, np.int64), nch, neutral)
+            for (ls, nch, neutral) in blocks
+            if bool((np.asarray(ls) >= 0).any())]
+    if not live:
+        live = [(np.asarray(blocks[0][0], np.int64),) + blocks[0][1:]]
+    m = len(live[0][0])
+
+    keys = {}
+    group = np.zeros(m, np.int32)
+    for mi in range(m):
+        k = tuple(int(ls[mi]) for ls, _, _ in live)
+        if k not in keys:
+            keys[k] = len(keys)
+        group[mi] = keys[k]
+
+    chains = {}
+
+    def chain(i):
+        if i not in chains:
+            chains[i] = _mip_chain(np.asarray(textures[i], np.float32), sizes)
+        return chains[i]
+
+    neutrals = [
+        [np.broadcast_to(np.asarray(neutral, np.float32),
+                         (sz, sz, nch)).copy() for sz in sizes]
+        for _, nch, neutral in live
+    ]
+
+    gwrap = np.zeros(len(keys), np.int32)
+    gfilt = np.zeros(len(keys), np.int32)
+    rows = []
+    offsets = []
+    off = 0
+    for _, nch, _ in live:
+        offsets.append((off, nch))
+        off += 4 * nch
+    for key, gi in sorted(keys.items(), key=lambda kv: kv[1]):
+        # the shared row address uses the first present map's wrap (maps
+        # of one material with DIFFERENT wraps fold with that one — such
+        # pairs virtually never mismatch; the per-layer path remains)
+        src = next((l for l in key if l >= 0), -1)
+        w = int(wrap[src]) if src >= 0 else 0
+        gwrap[gi] = w
+        gfilt[gi] = int(filt[src]) if src >= 0 else 0
+        for li, sz in enumerate(sizes):
+            parts = []
+            for bi, (l, (_, nch, _)) in enumerate(zip(key, live)):
+                img = (chain(l)[li][..., :nch] if l >= 0
+                       else neutrals[bi][li])
+                parts.append(_quad_fold(img, clamp=w == 1))
+            rows.append(np.concatenate(parts, axis=-1)
+                        if len(parts) > 1 else parts[0])
+    flat = np.concatenate(rows, axis=0).astype(np.float32)
+    return (jnp.asarray(flat), jnp.asarray(group), jnp.asarray(gwrap),
+            jnp.asarray(gfilt), tuple(offsets), tuple(sizes))
+
+
+def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
+                       group, uv, lod, wrapc, nearest):
+    """Trilinear fetch of EVERY channel block with 2 row gathers.
+
+    ``flat``: (G * TPL, C) combined rows from build_quad_stack_blocks;
+    ``group``: (...,) int32 per-sample group; ``wrapc``/``nearest``:
+    (...,) bool per-sample sampler state. Returns a list of (..., nch)
+    arrays, one per block, in build order."""
+    sizes = mip_sizes
+    nlev = len(sizes)
+    offs, acc = [], 0
+    for s in sizes:
+        offs.append(acc)
+        acc += s * s
+    tpl = acc
+    base = group * tpl
+    sizes_a = jnp.asarray(sizes, jnp.int32)
+    offs_a = jnp.asarray(offs, jnp.int32)
+    lod = jnp.clip(lod, 0.0, nlev - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    lf = (lod - l0)[..., None]
+    nearest = nearest[..., None]
+
+    def taps(lvl):
+        s = sizes_a[lvl]
+        off = offs_a[lvl]
+        sf = s.astype(jnp.float32)
+        fx = uv[..., 0] * sf - 0.5
+        fy = uv[..., 1] * sf - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        tx = (fx - x0)[..., None]
+        ty = (fy - y0)[..., None]
+        tx = jnp.where(nearest, jnp.round(tx), tx)
+        ty = jnp.where(nearest, jnp.round(ty), ty)
+        # clamp: snap the weight at the low edge (the quad at addr 0
+        # would otherwise lerp toward texel 1); the high edge is folded
+        # at build (the edge quad duplicates its own texel).
+        tx = jnp.where((wrapc & (x0 < 0))[..., None], 0.0, tx)
+        ty = jnp.where((wrapc & (y0 < 0))[..., None], 0.0, ty)
+        xw = jnp.where(wrapc, jnp.clip(x0, 0, s - 1), jnp.remainder(x0, s))
+        yw = jnp.where(wrapc, jnp.clip(y0, 0, s - 1), jnp.remainder(y0, s))
+        q = flat[base + off + yw * s + xw]            # ONE row gather
+        w00 = (1.0 - tx) * (1.0 - ty)
+        w10 = tx * (1.0 - ty)
+        w01 = (1.0 - tx) * ty
+        w11 = tx * ty
+        out = []
+        for boff, nch in block_offsets:
+            out.append(q[..., boff:boff + nch] * w00
+                       + q[..., boff + nch:boff + 2 * nch] * w10
+                       + q[..., boff + 2 * nch:boff + 3 * nch] * w01
+                       + q[..., boff + 3 * nch:boff + 4 * nch] * w11)
+        return out
+
+    t0 = taps(l0)
+    t1 = taps(jnp.minimum(l0 + 1, nlev - 1))
+    return [a + (b - a) * lf for a, b in zip(t0, t1)]
+
+
+def build_quad_stack(textures: np.ndarray, a_tex: np.ndarray,
+                     n_tex: np.ndarray, wrap: np.ndarray, filt: np.ndarray):
+    """Raster-path combined stack: albedo RGBA [+ normal RGB] blocks.
+    Returns (rows, group, gwrap, gfilt, has_normal, sizes)."""
+    has_normal = bool((np.asarray(n_tex) >= 0).any())
+    blocks = [(a_tex, 4, (1.0, 1.0, 1.0, 1.0))]
+    if has_normal:
+        blocks.append((n_tex, 3, (0.5, 0.5, 1.0)))
+    rows, group, gwrap, gfilt, _offs, sizes = build_quad_stack_blocks(
+        textures, blocks, wrap, filt)
+    return rows, group, gwrap, gfilt, has_normal, sizes
 
 
 def sample_texture_lod(flat, n_layers: int, mip_sizes: tuple, layer, uv,

@@ -271,7 +271,13 @@ def resolve_gbuffer(
         lod = (uv_screen_lod(uv, materials.textures.shape[1],
                               tri_id >= 0)
                if materials.has_mips else None)
-        if materials.textures.shape[0] > 0:
+        n_ts_q = has_map_q = None
+        if materials.has_quad and lod is not None:
+            tex, n_ts_q, has_map_q = materials.sample_combined(
+                mat_id, uv, lod)
+            alb = alb * tex[..., :3]
+            alpha = tex[..., 3]
+        elif materials.textures.shape[0] > 0:
             a_layer = px[..., 45].astype(jnp.int32)
             tex = materials.sample_texture(a_layer, uv, lod)
             alb = alb * jnp.where((a_layer >= 0)[..., None], tex[..., :3], 1.0)
@@ -279,15 +285,20 @@ def resolve_gbuffer(
         else:
             alpha = jnp.ones_like(metallic)
         albedo = jnp.concatenate([alb, alpha[..., None]], axis=-1) * color
-        if materials.textures.shape[0] > 0:
+        if materials.textures.shape[0] > 0 and not (
+                materials.has_quad and lod is not None
+                and not materials.quad_has_normal):
             # Tangent-space normal mapping (Standard.shader tangentBasis):
             # the tangent frame derives per face from the triangle's
             # positions and UVs — no stored tangents needed with a
             # visibility buffer (the packed row carries all three verts).
-            n_layer = px[..., 46].astype(jnp.int32)
-            ntex = materials.sample_texture(n_layer, uv, lod)
-            n_ts = ntex[..., :3] * 2.0 - 1.0
-            has_map = n_layer >= 0
+            if n_ts_q is not None:
+                n_ts, has_map = n_ts_q, has_map_q
+            else:
+                n_layer = px[..., 46].astype(jnp.int32)
+                ntex = materials.sample_texture(n_layer, uv, lod)
+                n_ts = ntex[..., :3] * 2.0 - 1.0
+                has_map = n_layer >= 0
             duv1 = px[..., 20:22]
             duv2 = px[..., 22:24]
             denom = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
@@ -410,7 +421,14 @@ def resolve_gbuffer_stream(
         emissive = jnp.stack(planes[18:21], axis=-1)
         lod = (uv_screen_lod(uv, materials.textures.shape[1], valid)
                if materials.has_mips else None)
-        if materials.textures.shape[0] > 0:
+        n_ts = has_map = None
+        if materials.has_quad and lod is not None:
+            # combined quad stack: ONE gather per mip level covers albedo
+            # AND the normal map (missing maps are neutral-filled)
+            tex, n_ts, has_map = materials.sample_combined(mat_id, uv, lod)
+            alb = alb * tex[..., :3]
+            alpha = tex[..., 3]
+        elif materials.textures.shape[0] > 0:
             a_layer = planes[21].astype(jnp.int32)
             tex = materials.sample_texture(a_layer, uv, lod)
             alb = alb * jnp.where((a_layer >= 0)[..., None], tex[..., :3], 1.0)
@@ -418,11 +436,16 @@ def resolve_gbuffer_stream(
         else:
             alpha = jnp.ones_like(metallic)
         albedo = jnp.concatenate([alb, alpha[..., None]], axis=-1) * color
-        if materials.textures.shape[0] > 0:
-            n_layer = planes[22].astype(jnp.int32)
-            ntex = materials.sample_texture(n_layer, uv, lod)
-            n_ts = ntex[..., :3] * 2.0 - 1.0
-            has_map = n_layer >= 0
+        # combined path with no normal block => NO material has a normal
+        # map (static fact) — skip the mapping math entirely
+        if materials.textures.shape[0] > 0 and not (
+                materials.has_quad and lod is not None
+                and not materials.quad_has_normal):
+            if n_ts is None:
+                n_layer = planes[22].astype(jnp.int32)
+                ntex = materials.sample_texture(n_layer, uv, lod)
+                n_ts = ntex[..., :3] * 2.0 - 1.0
+                has_map = n_layer >= 0
             denom = planes[26]
             # the kernel emits t_raw WITHOUT the classic path's 1/denom
             # factor — normalization absorbs the magnitude but the SIGN
@@ -497,11 +520,16 @@ def resolve_alpha_stream(
     color_a = planes[11]
     cutoff = planes[27]
     if materials.textures.shape[0] > 0:
-        a_layer = planes[21].astype(jnp.int32)
         lod = (uv_screen_lod(uv, materials.textures.shape[1], tri_id >= 0)
                if materials.has_mips else None)
-        tex = materials.sample_texture(a_layer, uv, lod)
-        alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
+        if materials.has_quad and lod is not None:
+            mat_id = planes[12].astype(jnp.int32)
+            tex, _, _ = materials.sample_combined(mat_id, uv, lod)
+            alpha = tex[..., 3]
+        else:
+            a_layer = planes[21].astype(jnp.int32)
+            tex = materials.sample_texture(a_layer, uv, lod)
+            alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
     else:
         alpha = jnp.ones_like(color_a)
     return alpha * color_a, cutoff

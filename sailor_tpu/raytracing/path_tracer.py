@@ -87,6 +87,14 @@ class TraceScene:
     # width tracked per ray, per-tri texel density in tri_pack col 39):
     tex_lod: jnp.ndarray | None = None    # (N * TPL, 4) flat mips
     mip_sizes: tuple = struct.field(pytree_node=False, default=())
+    # Combined per-material quad rows (assets/materials.py
+    # build_quad_stack_blocks): ONE row carries the 2x2 bilinear footprint
+    # of EVERY map the material has (albedo[+normal+orm+emissive]), so a
+    # full trilinear material fetch at a hit point is 2 row gathers
+    # instead of up to 32. Group id rides in tri_pack col 40.
+    tex_quad: jnp.ndarray | None = None   # (G * TPL, C)
+    quad_blocks: tuple = struct.field(pytree_node=False, default=())
+    # ((name, off, nch), ...) in row order
 
     @property
     def num_triangles(self) -> int:
@@ -286,14 +294,15 @@ def _shade_hit(scene, res, origin, direction, cone_width=None):
     emissive = row[:, 14:17]
     if scene.has_textures:
         from sailor_tpu.assets.materials import (
-            _sample_texture_stack, sample_texture_lod,
+            _sample_texture_stack, sample_quad_blocks, sample_texture_lod,
         )
 
         uvp = (
             row[:, 25:27] * w0 + row[:, 27:29] * u + row[:, 29:31] * v
         )
-        if cone_width is not None and scene.tex_lod is not None \
-                and len(scene.mip_sizes) > 1:
+        use_lod = (cone_width is not None and scene.tex_lod is not None
+                   and len(scene.mip_sizes) > 1)
+        if use_lod:
             s0 = scene.mip_sizes[0]
             cosr = jnp.maximum(jnp.abs(m3.dot(n, direction)), 0.08)
             lod = (jnp.log2(s0 * jnp.maximum(cone_width, 1e-8) / cosr)
@@ -307,6 +316,47 @@ def _shade_hit(scene, res, origin, direction, cone_width=None):
         else:
             def sample_tex(layer, uvp):
                 return _sample_texture_stack(scene.textures, layer, uvp)
+
+        if use_lod and scene.tex_quad is not None:
+            # combined quad stack: 2 row gathers fetch EVERY map
+            group = row[:, 40].astype(jnp.int32)
+            blocks = sample_quad_blocks(
+                scene.tex_quad, scene.mip_sizes,
+                tuple((off, nch) for _, off, nch in scene.quad_blocks),
+                group, uvp, lod,
+                wrapc=jnp.zeros(group.shape, bool),
+                nearest=jnp.zeros(group.shape, bool),
+            )
+            bmap = {nm: b for (nm, _, _), b in zip(scene.quad_blocks, blocks)}
+            if "albedo" in bmap:
+                albedo = albedo * bmap["albedo"][..., :3]
+            if "normal" in bmap:
+                n_ts = bmap["normal"] * 2.0 - 1.0
+                nl = row[:, 36].astype(jnp.int32)
+                t = row[:, 32:35]
+                t = m3.normalize(t - n * m3.dot(n, t, keepdims=True))
+                b = jnp.cross(n, t) * row[:, 35:36]
+                n_mapped = m3.normalize(
+                    t * n_ts[:, 0:1] + b * n_ts[:, 1:2] + n * n_ts[:, 2:3]
+                )
+                n = jnp.where((nl >= 0)[:, None], n_mapped, n)
+            if "orm" in bmap:
+                roughness = roughness * bmap["orm"][..., 1]
+                metallic = metallic * bmap["orm"][..., 2]
+            if "emissive" in bmap:
+                emissive = emissive * bmap["emissive"]
+            return pos, n, entering, {
+                "albedo": albedo,
+                "metallic": metallic,
+                "roughness": roughness,
+                "emissive": emissive,
+                "transmission": row[:, 17],
+                "ior": row[:, 18],
+                "atten_color": row[:, 19:22],
+                "atten_dist": row[:, 22],
+                "scatter": row[:, 23],
+                "hg_g": row[:, 24],
+            }
 
         layer = row[:, 31].astype(jnp.int32)
         tex = sample_tex(layer, uvp)
@@ -1006,6 +1056,33 @@ def scene_from_mesh(
     uv_a = np.maximum(np.abs(det), 1e-20)
     pack[:, 39] = np.clip(0.5 * np.log2(uv_a / world_a), -24.0, 24.0)
 
+    # combined quad stack: one row per (material-group, level, texel)
+    # packing every map's 2x2 footprint; group id -> tri_pack col 40
+    tex_quad = None
+    quad_blocks = ()
+    if tex_lod is not None and len(mip_sizes) > 1:
+        from sailor_tpu.assets.materials import build_quad_stack_blocks
+
+        cand = [("albedo", albedo_tex, 4, (1.0, 1.0, 1.0, 1.0)),
+                ("normal", normal_tex, 3, (0.5, 0.5, 1.0)),
+                ("orm", orm_tex, 3, (1.0, 1.0, 1.0)),
+                ("emissive", emissive_tex, 3, (1.0, 1.0, 1.0))]
+        live = [(nm, ls, nch, neu) for nm, ls, nch, neu in cand
+                if bool((ls >= 0).any())]
+        if live:
+            tq, qgroup, _qw, _qf, qoffs, _qsz = build_quad_stack_blocks(
+                np.asarray(textures),
+                [(ls, nch, neu) for _, ls, nch, neu in live],
+                np.zeros(textures.shape[0], np.int32),
+                np.zeros(textures.shape[0], np.int32),
+            )
+            tex_quad = tq
+            quad_blocks = tuple(
+                (nm, off, nch)
+                for (nm, _, _, _), (off, nch) in zip(live, qoffs)
+            )
+            pack[:, 40] = np.asarray(qgroup)[mt].astype(np.float32)
+
     env_map = None
     if sky is not None:
         from sailor_tpu.kernels import sky as sky_mod
@@ -1029,6 +1106,8 @@ def scene_from_mesh(
     return TraceScene(
         env_map=env_map,
         tex_lod=tex_lod,
+        tex_quad=tex_quad,
+        quad_blocks=quad_blocks,
         mip_sizes=tuple(mip_sizes),
         has_normal_maps=bool((normal_tex >= 0).any()),
         has_orm_maps=bool((orm_tex >= 0).any()),

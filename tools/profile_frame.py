@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--nojit", action="store_true",
                     help="skip the whole-graph jitted timing")
     ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--content", action="store_true",
+                    help="textured Duck.glb x60 scene (bench --content)")
+    ap.add_argument("--sponza", action="store_true",
+                    help="sponza-materials atrium scene (bench --sponza)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +46,12 @@ def main():
     else:
         width, height, num_lights, num_objects = 1920, 1088, 1000, 96
 
-    scene = bench._build_scene(width, height, num_lights, num_objects)
+    if args.sponza:
+        scene = bench._build_sponza_scene(width, height, num_lights)
+    elif args.content:
+        scene = bench._build_content_scene(width, height, num_lights, 60)
+    else:
+        scene = bench._build_scene(width, height, num_lights, num_objects)
     fg = FrameGraph(
         FrameGraphAsset.load(
             os.path.join(os.path.dirname(os.path.dirname(
