@@ -65,6 +65,10 @@ class MaterialTable:
     quad_wrap: jnp.ndarray | None = None   # (G,) int32 0=repeat 1=clamp
     quad_filter: jnp.ndarray | None = None  # (G,) int32 0=bilinear 1=nearest
     quad_has_normal: bool = struct.field(pytree_node=False, default=False)
+    # ((kind, (offset, nch)), ...) for the blocks actually packed in
+    # tex_quad — build_quad_stack_blocks DROPS all-absent blocks, so the
+    # sampler must use the built layout, not assume albedo-first.
+    quad_offsets: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def has_mips(self) -> bool:
@@ -79,16 +83,21 @@ class MaterialTable:
         (albedo RGBA, tangent-space normal in [-1,1] or None, has_normal
         mask). Two row gathers total (trilinear), all maps included."""
         g = self.quad_group[mat_id]
-        offs = ((0, 4), (16, 3)) if self.quad_has_normal else ((0, 4),)
+        offsets = self.quad_offsets or (("albedo", (0, 4)),)
         out = sample_quad_blocks(
-            self.tex_quad, self.mip_sizes, offs, g, uv, lod,
+            self.tex_quad, self.mip_sizes,
+            tuple(o for _, o in offsets), g, uv, lod,
             wrapc=self.quad_wrap[g] == 1,
             nearest=self.quad_filter[g] == 1,
         )
-        if self.quad_has_normal:
-            return (out[0], out[1] * 2.0 - 1.0,
+        bmap = dict(zip((k for k, _ in offsets), out))
+        albedo = bmap.get("albedo")
+        if albedo is None:   # normal-map-only stack: albedo block dropped
+            albedo = jnp.ones(uv.shape[:-1] + (4,))
+        if "normal" in bmap:
+            return (albedo, bmap["normal"] * 2.0 - 1.0,
                     self.normal_texture[mat_id] >= 0)
-        return out[0], None, jnp.zeros(mat_id.shape, bool)
+        return albedo, None, jnp.zeros(mat_id.shape, bool)
 
     def sample_normal(self, mat_id, uv, lod=None):
         """Tangent-space normal from the material's normal map; returns
@@ -161,11 +170,12 @@ class MaterialTable:
             filt[i] = 1 if str(meta.get("filtration", "Bilinear")).lower() == "nearest" else 0
         tex_quad = quad_group = quad_wrap = quad_filter = None
         quad_has_normal = False
+        quad_offsets = ()
         a_tex = np.asarray(table.get("albedo_texture", np.full(m, -1, np.int32)))
         n_tx = np.asarray(table.get("normal_texture", np.full(m, -1, np.int32)))
         if mips and n_tex:
             (tex_quad, quad_group, quad_wrap, quad_filter,
-             quad_has_normal, _qs) = build_quad_stack(
+             quad_has_normal, quad_offsets, _qs) = build_quad_stack(
                 np.asarray(textures), a_tex, n_tx, wrap, filt)
         return cls(
             tex_quad=tex_quad,
@@ -173,6 +183,7 @@ class MaterialTable:
             quad_wrap=quad_wrap,
             quad_filter=quad_filter,
             quad_has_normal=quad_has_normal,
+            quad_offsets=quad_offsets,
             tex_lod=tex_lod,
             tex_wrap=jnp.asarray(wrap) if n_tex else None,
             tex_filter=jnp.asarray(filt) if n_tex else None,
@@ -462,12 +473,21 @@ def build_quad_stack(textures: np.ndarray, a_tex: np.ndarray,
     """Raster-path combined stack: albedo RGBA [+ normal RGB] blocks.
     Returns (rows, group, gwrap, gfilt, has_normal, sizes)."""
     has_normal = bool((np.asarray(n_tex) >= 0).any())
+    has_albedo = bool((np.asarray(a_tex) >= 0).any())
     blocks = [(a_tex, 4, (1.0, 1.0, 1.0, 1.0))]
     if has_normal:
         blocks.append((n_tex, 3, (0.5, 0.5, 1.0)))
-    rows, group, gwrap, gfilt, _offs, sizes = build_quad_stack_blocks(
+    rows, group, gwrap, gfilt, offs, sizes = build_quad_stack_blocks(
         textures, blocks, wrap, filt)
-    return rows, group, gwrap, gfilt, has_normal, sizes
+    # build_quad_stack_blocks drops all-absent blocks (falling back to the
+    # first when none survive) — label the survivors so the sampler reads
+    # the layout it actually got.
+    kinds = [k for k, present in (("albedo", has_albedo),
+                                  ("normal", has_normal)) if present]
+    if not kinds:
+        kinds = ["albedo"]
+    offsets = tuple(zip(kinds, offs))
+    return rows, group, gwrap, gfilt, has_normal, offsets, sizes
 
 
 def sample_texture_lod(flat, n_layers: int, mip_sizes: tuple, layer, uv,

@@ -64,6 +64,10 @@ SUB = int(_os.environ.get("SAILOR_SWEEP_SUB", "256"))
 # per-(sub-block, visit) entry table must fit or Mosaic rejects the kernel.
 SMEM_BUDGET = int(_os.environ.get("SAILOR_SWEEP_SMEM", str(1 << 20)))
 
+# Fused in-VMEM slab/entry reduction (see _slab_entry_kernel); the "0"
+# fallback runs the original XLA (Rp, C) pass for A/B.
+FUSED_SLAB = _os.environ.get("SAILOR_SWEEP_FUSED_SLAB", "1") == "1"
+
 
 def scalar_bytes(scene: "SweepScene", num_rays: int) -> int:
     """Size of intersect()'s scalar-prefetch array for ``num_rays``."""
@@ -154,6 +158,81 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, *,
         n_clusters=int(nc),
         cluster=CLUSTER_,
     )
+
+
+# Sub-blocks folded into one program of the fused slab kernel (the (8*SUB)
+# row window keeps the output block 8-sublane-aligned for Mosaic).
+_SLAB_GROUP = 8
+
+
+def _slab_entry_kernel(f_ref, tmax_ref, cl_ref, out_ref, *, sub: int):
+    """Fused per-sub-block slab entry: the exact per-ray cluster slab test
+    reduced min-over-rays in VMEM.
+
+    The XLA form of this pass materializes several (Rp, C) f32 arrays in
+    HBM (~76 MB each at 262k rays x 73 clusters) and was the measured
+    dominant cost of an intersect dispatch (23 of ~32 ms on v5e); the
+    main sweep kernel only ever consumes the (sub-block, cluster)
+    REDUCTION, so this kernel computes the same arithmetic per ray but
+    keeps every per-ray intermediate in VMEM and writes only the
+    (sub-blocks, clusters) min-entry table (0.3 MB).
+
+    One program = _SLAB_GROUP consecutive sub-blocks. Arithmetic is
+    kept identical to slab() in intersect(): inv clamp at |d|>1e-12,
+    oinv = o*inv, hit iff tn <= min(tf, tmax) and tf > 0, entry =
+    max(tn, 0) where hit else +inf.
+    """
+    cl = cl_ref[...]                       # (8, Cp) rows 0:3 min, 3:6 max
+    rows = []
+    for i in range(_SLAB_GROUP):
+        f = f_ref[pl.ds(i * sub, sub), :]  # (SUB, 16): [d, m, 0,0 | o, ...]
+        tmax = tmax_ref[pl.ds(i * sub, sub), :]   # (SUB, 1)
+        tn = None
+        tf = None
+        for k in range(3):
+            dk = f[:, k:k + 1]
+            ok = f[:, 8 + k:9 + k]
+            inv = jnp.where(jnp.abs(dk) > 1e-12, 1.0 / dk, 1e12)
+            oinv = ok * inv
+            a = inv * cl[k, :][None, :] - oinv        # (SUB, Cp)
+            b = inv * cl[3 + k, :][None, :] - oinv
+            lo = jnp.minimum(a, b)
+            hi = jnp.maximum(a, b)
+            tn = lo if tn is None else jnp.maximum(tn, lo)
+            tf = hi if tf is None else jnp.minimum(tf, hi)
+        hit = (tn <= jnp.minimum(tf, tmax)) & (tf > 0.0)
+        entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+        rows.append(jnp.min(entry, axis=0, keepdims=True))   # (1, Cp)
+    out_ref[...] = jnp.concatenate(rows, axis=0)             # (GROUP, Cp)
+
+
+def _slab_entry_sub(scene: "SweepScene", feats, tmax, rpad: int):
+    """(rpad // SUB, n_clusters) min slab-entry distances via the fused
+    kernel (+inf where no ray of the sub-block pierces the cluster)."""
+    nc = scene.n_clusters
+    cp = common.round_up(nc, 128)
+    # pad clusters to a far-away slab the test always rejects (cl_min >
+    # cl_max never happens for real clusters; use a +1e30/+2e30 box whose
+    # entry is never <= tmax)
+    cl = jnp.full((8, cp), 1e30, jnp.float32)
+    cl = cl.at[3:6].set(2e30)
+    cl = cl.at[0:3, :nc].set(scene.cl_min.T)
+    cl = cl.at[3:6, :nc].set(scene.cl_max.T)
+    nsb = rpad // SUB
+    grid = (nsb // _SLAB_GROUP,)
+    out = common.pallas_call(
+        functools.partial(_slab_entry_kernel, sub=SUB),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_SLAB_GROUP * SUB, 16), lambda s: (s, 0)),
+            pl.BlockSpec((_SLAB_GROUP * SUB, 1), lambda s: (s, 0)),
+            pl.BlockSpec((8, cp), lambda s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_SLAB_GROUP, cp), lambda s: (s, 0)),
+        out_shape=jax.ShapeDtypeStruct((nsb, cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(feats, tmax.reshape(rpad, 1), cl)
+    return out[:, :nc]
 
 
 def _sweep_kernel(sc_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
@@ -346,8 +425,6 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
         d = d[order]
         tmax = tmax[order]
 
-    hit_c, tn = slab(o, d, tmax)
-
     m = jnp.cross(o, d)
     z1 = jnp.zeros((rpad, 1))
     feats = jnp.concatenate(
@@ -358,9 +435,15 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
     # ray of the sub-block pierces its AABB) — this one array carries BOTH
     # the liveness mask and the near-to-far metric; its f32 bits compare
     # like the floats, so the kernel tests it against the running best-t
-    # bound with a single int compare.
-    entry = jnp.where(hit_c, jnp.maximum(tn, 0.0), jnp.inf)
-    e_sub = jnp.min(entry.reshape(nb * nsub, SUB, nc), axis=1)  # (B*S, C)
+    # bound with a single int compare. The fused kernel keeps the (Rp, C)
+    # per-ray intermediates in VMEM (the XLA form was 23 of ~32 ms per
+    # dispatch on v5e); the XLA fallback stays as an A/B knob.
+    if FUSED_SLAB:
+        e_sub = _slab_entry_sub(scene, feats, tmax, rpad)       # (B*S, C)
+    else:
+        hit_c, tn = slab(o, d, tmax)
+        entry = jnp.where(hit_c, jnp.maximum(tn, 0.0), jnp.inf)
+        e_sub = jnp.min(entry.reshape(nb * nsub, SUB, nc), axis=1)
     e_blk = jnp.min(e_sub.reshape(nb, nsub, nc), axis=1)        # (B, C)
     # visit order per block: nearest cluster first, dead (inf) last
     order = jnp.argsort(e_blk, axis=1).astype(jnp.int32)        # (B, C)

@@ -54,3 +54,45 @@ def test_sweep_active_and_tmax():
     rt = sweep.intersect(sw, jnp.asarray(org), jnp.asarray(d), t_max=2.0)
     tt, ht = np.asarray(rt["t"]), np.asarray(rt["hit"])
     assert (tt[ht] <= 2.0 + 1e-3).all()
+
+
+def test_fused_slab_entry_matches_xla():
+    """_slab_entry_sub (fused VMEM kernel) == the XLA (Rp, C) slab pass."""
+    import jax.numpy as jnp
+
+    v0, v1, v2 = _soup(7, t=1500)
+    sw = sweep.build(v0, v1, v2)
+    rng = np.random.default_rng(9)
+    rpad = sweep.RAY_BLOCK
+    o = jnp.asarray(rng.uniform(-8, 8, (rpad, 3)).astype(np.float32))
+    d = rng.normal(size=(rpad, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((rpad,), np.inf, jnp.float32)
+    tmax = tmax.at[::5].set(-1.0)  # some dead rays, as the tracer sends
+    z1 = jnp.zeros((rpad, 1))
+    m = jnp.cross(o, d)
+    feats = jnp.concatenate(
+        [d, m, z1, z1, o, jnp.ones((rpad, 1)), d, z1], axis=1
+    )
+    got = np.asarray(sweep._slab_entry_sub(sw, feats, tmax, rpad))
+
+    # reference: the original XLA formulation
+    nc = sw.n_clusters
+    inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, 1e12)
+    oinv = o * inv
+    tn = jnp.full((rpad, nc), -jnp.inf)
+    tf = jnp.full((rpad, nc), jnp.inf)
+    for k in range(3):
+        a = inv[:, k:k + 1] * sw.cl_min[None, :, k] - oinv[:, k:k + 1]
+        b_ = inv[:, k:k + 1] * sw.cl_max[None, :, k] - oinv[:, k:k + 1]
+        tn = jnp.maximum(tn, jnp.minimum(a, b_))
+        tf = jnp.minimum(tf, jnp.maximum(a, b_))
+    hit = (tn <= jnp.minimum(tf, tmax[:, None])) & (tf > 0.0)
+    entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+    want = np.asarray(
+        jnp.min(entry.reshape(rpad // sweep.SUB, sweep.SUB, nc), axis=1)
+    )
+    fin = np.isfinite(want)
+    assert (np.isfinite(got) == fin).all()
+    np.testing.assert_allclose(got[fin], want[fin], rtol=1e-6, atol=1e-6)
