@@ -526,10 +526,15 @@ def bench_trace(size, spp, bounces):
     cam = jnp.asarray([0.0, 4.0, 9.0])
     view = m3.look_at(cam, jnp.asarray([0.0, 0.6, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
     proj = m3.perspective(jnp.pi / 4, 1.0, 0.1, 100.0)
+    # a recompile inside the timed loop is a bug, not noise — surface it
+    jax.config.update("jax_log_compiles", True)
     t0 = time.time()
+    # warm up with the EXACT argument signature of the timed reps (same
+    # key= kwarg, same aval construction) so the timed loop can never see
+    # a first-call trace/compile (r4: rep 0 took 416 s, 26x steady state)
     img, rays = pt.render_cached(
         scene, cam, view, proj, width=size, height=size, spp=spp,
-        max_bounces=bounces,
+        max_bounces=bounces, key=jax.random.PRNGKey(6),
     )
     # TIMING OVER THE TUNNEL: jax.block_until_ready does NOT wait on axon
     # async handles, and byte-identical executions are memoized server-side
@@ -541,6 +546,7 @@ def bench_trace(size, spp, bounces):
     float(sumf(img))
     print(f"# compile+render: {time.time()-t0:.1f}s", file=sys.stderr)
     times = []
+    loop_t0 = time.time()
     for rep in range(3):
         cam_r = cam + 1e-5 * (rep + 1)
         view_r = m3.look_at(
@@ -553,6 +559,14 @@ def bench_trace(size, spp, bounces):
         )
         float(sumf(img))
         times.append(time.time() - t0)
+        # a stalled rep must not eat the driver budget: min-of-times is
+        # already robust to one outlier, so stop once 2 reps are in and
+        # the loop has burned its wall budget
+        if len(times) >= 2 and time.time() - loop_t0 > 120:
+            print("# tracer rep loop over budget; stopping early",
+                  file=sys.stderr)
+            break
+    jax.config.update("jax_log_compiles", False)
     print(f"# render times (s): {[round(t, 3) for t in times]}", file=sys.stderr)
     mrays = float(rays) / min(times) / 1e6
     return {
@@ -587,51 +601,46 @@ def main():
         print(json.dumps(out))
         return
 
+    # INCREMENTAL ARTIFACTS (VERDICT r4 #1): the driver records the LAST
+    # stdout line, so the cumulative result JSON is (re)printed after
+    # EVERY stage — a driver timeout then costs only the unfinished
+    # stages, never the whole round. Each optional stage checks the
+    # remaining wall budget (SAILOR_BENCH_BUDGET_S, default 1020 s) with
+    # a per-stage cost estimate and is skipped, loudly, when it can't fit.
+    t_start = time.time()
+    budget = float(os.environ.get("SAILOR_BENCH_BUDGET_S", "1020"))
+    extra = []
+
+    def emit(o):
+        if extra:
+            o["extra"] = extra
+        print(json.dumps(o), flush=True)
+
+    def fits(stage, est_s):
+        left = budget - (time.time() - t_start)
+        if left >= est_s:
+            return True
+        print(f"# SKIP {stage}: {left:.0f}s left < est {est_s:.0f}s",
+              file=sys.stderr)
+        return False
+
     if args.small:
         out = bench_forward(640, 384, 128, 24, args.frames)
+        emit(out)
     else:
         out = bench_forward(1920, 1088, 1000, 96, args.frames)
+        emit(out)
 
-    # ALL metrics in one run: tracer + real-content results ride in the
-    # final JSON line (driver records the last line; extra stdout lines
-    # could shadow the FPS metric) and are echoed to stderr for the tail.
-    extra = []
-    if not args.forward_only:
-        try:
-            tr = bench_trace(256 if args.small else 512,
-                             4 if args.small else 64, 4)
-            print("# tracer: " + json.dumps(tr), file=sys.stderr)
-            extra.append(tr)
-        except Exception as e:  # tracer failure must not hide the FPS metric
-            print(f"# tracer benchmark failed: {e}", file=sys.stderr)
-        if os.path.exists(DUCK_GLB) and not args.small:
-            # Sponza-class REAL-content frame: ~250k tris of textured GLTF
-            try:
-                ct = bench_forward(1920, 1088, 1000, 0, args.frames,
-                                   content=True, instances=60)
-                print("# content: " + json.dumps(ct), file=sys.stderr)
-                extra.append(ct)
-            except Exception as e:
-                print(f"# content benchmark failed: {e}", file=sys.stderr)
-        if os.path.exists(SPONZA_MTL) and not args.small:
-            # the reference's ACTUAL Sponza material/texture library on a
-            # reconstructed atrium (geometry is not vendored upstream)
-            try:
-                sp = bench_forward(1920, 1088, 1000, 0, args.frames,
-                                   sponza=True)
-                print("# sponza: " + json.dumps(sp), file=sys.stderr)
-                extra.append(sp)
-            except Exception as e:
-                print(f"# sponza benchmark failed: {e}", file=sys.stderr)
-    # warm-start proof (VERDICT r3 #4): a FRESH process reusing the AOT
-    # cache just written by the timed run — expect seconds, not minutes.
-    if not args.small:
+    # warm-start proof (VERDICT r3 #4) runs FIRST among the extras — it
+    # has failed to land for three rounds by running last: a FRESH process
+    # reusing the AOT cache just written by the timed run above.
+    if not args.small and fits("warm-probe", 120):
         try:
             import subprocess
 
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--warm-probe"],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True, timeout=240,
             )
             line = (r.stdout.strip().splitlines() or [""])[-1]
             probe = json.loads(line) if line.startswith("{") else {}
@@ -639,11 +648,50 @@ def main():
                 print(f"# warm first frame (fresh process, AOT cache): "
                       f"{probe['warm_first_frame_s']}s", file=sys.stderr)
                 out["warm_first_frame_s"] = probe["warm_first_frame_s"]
+                emit(out)
+            else:
+                print("# warm probe produced no JSON; stderr tail: "
+                      + (r.stderr or "")[-400:].replace("\n", " | "),
+                      file=sys.stderr)
         except Exception as e:
             print(f"# warm probe failed: {e}", file=sys.stderr)
-    if extra:
-        out["extra"] = extra
-    print(json.dumps(out))
+
+    if not args.forward_only:
+        if fits("tracer", 60 if args.small else 200):
+            try:
+                tr = bench_trace(256 if args.small else 512,
+                                 4 if args.small else 64, 4)
+                print("# tracer: " + json.dumps(tr), file=sys.stderr)
+                extra.append(tr)
+                emit(out)
+            except Exception as e:  # must not hide the FPS metric
+                print(f"# tracer benchmark failed: {e}", file=sys.stderr)
+        if (os.path.exists(DUCK_GLB) and not args.small
+                and fits("content", 150)):
+            # Sponza-class REAL-content frame: ~250k tris of textured GLTF
+            try:
+                ct = bench_forward(1920, 1088, 1000, 0, args.frames,
+                                   content=True, instances=60)
+                print("# content: " + json.dumps(ct), file=sys.stderr)
+                extra.append(ct)
+                emit(out)
+            except Exception as e:
+                print(f"# content benchmark failed: {e}", file=sys.stderr)
+        if (os.path.exists(SPONZA_MTL) and not args.small
+                and fits("sponza", 120)):
+            # the reference's ACTUAL Sponza material/texture library on a
+            # reconstructed atrium (geometry is not vendored upstream)
+            try:
+                sp = bench_forward(1920, 1088, 1000, 0, args.frames,
+                                   sponza=True)
+                print("# sponza: " + json.dumps(sp), file=sys.stderr)
+                extra.append(sp)
+                emit(out)
+            except Exception as e:
+                print(f"# sponza benchmark failed: {e}", file=sys.stderr)
+    emit(out)
+    print(f"# bench total wall: {time.time() - t_start:.0f}s "
+          f"(budget {budget:.0f}s)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -130,14 +130,76 @@ def cache_key(logical_key: str, example_args: tuple) -> str:
     return h.hexdigest()[:32]
 
 
+# Dispatch-time error markers of a poisoned AOT entry: machine code
+# compiled for a different host's CPU features loads fine but throws at
+# first execution (observed round 4: "Buffer Definition Event: Function
+# slice_concatenate_fusion.118 not found" from an entry compiled with
+# +prefer-no-gather on a different µarch). ShaderCache parity demands
+# entries can never poison (ShaderCache.h:15-91 timestamp expiry) — so a
+# matching dispatch failure evicts the entry and recompiles in place.
+_POISON_MARKERS = (
+    "Buffer Definition Event",
+    "not found",
+    "NOT_FOUND",
+    "machine feature",
+    "Deserializ",
+)
+
+
+class _GuardedExecutable:
+    """First-call guard around a cache-LOADED executable.
+
+    A poisoned entry (foreign-host machine code) only reveals itself at
+    dispatch. The first ``__call__`` catches a matching runtime error,
+    evicts the on-disk entry, recompiles cold (re-storing a good entry),
+    and retries; after one success the guard collapses to plain
+    delegation. TypeError (aval drift) propagates — callers handle it.
+    """
+
+    def __init__(self, compiled, recompile, path: Path, label: str):
+        self._inner = compiled
+        self._recompile = recompile
+        self._path = path
+        self._label = label
+        self._verified = False
+
+    def __call__(self, *args):
+        if self._verified:
+            return self._inner(*args)
+        try:
+            out = self._inner(*args)
+            self._verified = True
+            return out
+        except TypeError:
+            raise
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            if not any(m in msg for m in _POISON_MARKERS):
+                raise
+            log(f"aot-cache poisoned entry for {self._label} "
+                f"({msg.splitlines()[0][:120]}); evicting + recompiling")
+            try:
+                self._path.unlink(missing_ok=True)
+            except OSError:
+                pass
+            self._inner = self._recompile()
+            self._verified = True
+            return self._inner(*args)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 def load_or_compile(fn, example_args: tuple, *, logical_key: str,
                     static_argnames=(), label: str = "jit"):
     """Return a compiled executable for ``fn(*example_args)``.
 
     Warm path: unpickle + ``deserialize_and_load`` (no tracing, no
     compile).  Cold path: ``jit(fn).lower(*args).compile()`` then
-    serialize to disk.  Any failure degrades to the cold path; if even
-    serialization fails the compiled object is returned uncached.
+    serialize to disk.  Any failure degrades to the cold path — including
+    a poisoned entry that only fails at first dispatch (see
+    ``_GuardedExecutable``); if even serialization fails the compiled
+    object is returned uncached.
     """
     jitted = jax.jit(fn, static_argnames=static_argnames)
     if not enabled():
@@ -163,8 +225,15 @@ def load_or_compile(fn, example_args: tuple, *, logical_key: str,
             )
             log(f"aot-cache hit {label}: load {time.time() - t0:.1f}s "
                 f"({path.stat().st_size / 1e6:.0f} MB)")
-            _memory[key] = compiled
-            return compiled
+
+            def _cold():
+                c = jitted.lower(*example_args).compile()
+                _store(c, path, label)
+                return c
+
+            guarded = _GuardedExecutable(compiled, _cold, path, label)
+            _memory[key] = guarded
+            return guarded
         except Exception as e:  # topology/pickle drift -> recompile
             log(f"aot-cache load failed ({type(e).__name__}: {e}); "
                 f"recompiling {label}")
@@ -177,6 +246,13 @@ def load_or_compile(fn, example_args: tuple, *, logical_key: str,
     t_compile = time.time() - t0
     log(f"aot-cache miss {label}: trace+lower {t_lower:.1f}s, "
         f"compile {t_compile:.1f}s")
+    _store(compiled, path, label)
+    _memory[key] = compiled
+    return compiled
+
+
+def _store(compiled, path: Path, label: str) -> None:
+    """Serialize a freshly-compiled executable to ``path`` (atomic)."""
     try:
         from jax.experimental import serialize_executable as se
 
@@ -196,8 +272,6 @@ def load_or_compile(fn, example_args: tuple, *, logical_key: str,
     except Exception as e:
         log(f"aot-cache store failed ({type(e).__name__}: {e}); "
             f"running uncached")
-    _memory[key] = compiled
-    return compiled
 
 
 def stats() -> dict:

@@ -83,7 +83,13 @@ class MaterialTable:
         (albedo RGBA, tangent-space normal in [-1,1] or None, has_normal
         mask). Two row gathers total (trilinear), all maps included."""
         g = self.quad_group[mat_id]
-        offsets = self.quad_offsets or (("albedo", (0, 4)),)
+        # legacy tables (pre-quad_offsets) packed albedo-first with the
+        # normal quad at float 16 when present — deriving the fallback
+        # from quad_has_normal keeps their normal mapping intact
+        offsets = self.quad_offsets or (
+            (("albedo", (0, 4)), ("normal", (16, 3)))
+            if self.quad_has_normal else (("albedo", (0, 4)),)
+        )
         out = sample_quad_blocks(
             self.tex_quad, self.mip_sizes,
             tuple(o for _, o in offsets), g, uv, lod,

@@ -55,11 +55,22 @@ def host_cpu_fingerprint() -> str:
 
     try:
         with open("/proc/cpuinfo") as f:
+            parts = []
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(
-                        line.encode()
-                    ).hexdigest()[:10]
+                # flags alone are NOT enough: LLVM applies per-µarch
+                # tuning (e.g. +prefer-no-gather on Zen4) keyed on the
+                # model, so two hosts with identical flag sets can still
+                # produce mutually-poisonous machine code. Hash the model
+                # identity lines too (observed round 4: an entry compiled
+                # with +prefer-no-gather crashed dispatch on an Intel
+                # host with the same flags hash).
+                if line.startswith(("flags", "model name", "vendor_id",
+                                    "cpu family", "model\t", "stepping")):
+                    parts.append(line)
+                    if line.startswith("flags"):
+                        break
+            if parts:
+                return hashlib.sha256("".join(parts).encode()).hexdigest()[:10]
     except OSError:
         pass
     return hashlib.sha256(platform.machine().encode()).hexdigest()[:10]

@@ -211,15 +211,29 @@ def _slab_entry_sub(scene: "SweepScene", feats, tmax, rpad: int):
     kernel (+inf where no ray of the sub-block pierces the cluster)."""
     nc = scene.n_clusters
     cp = common.round_up(nc, 128)
-    # pad clusters to a far-away slab the test always rejects (cl_min >
-    # cl_max never happens for real clusters; use a +1e30/+2e30 box whose
-    # entry is never <= tmax)
+    # pad clusters to a far-away +1e30/+2e30 box; its entry values land in
+    # the pad columns, which the `out[:, :nc]` slice below discards (the
+    # box is NOT guaranteed to reject — with tmax=inf a ray can "hit" it
+    # with a finite ~1e30 entry — it only has to stay out of real columns)
     cl = jnp.full((8, cp), 1e30, jnp.float32)
     cl = cl.at[3:6].set(2e30)
     cl = cl.at[0:3, :nc].set(scene.cl_min.T)
     cl = cl.at[3:6, :nc].set(scene.cl_max.T)
     nsb = rpad // SUB
-    grid = (nsb // _SLAB_GROUP,)
+    # Pad the sub-block count up to a multiple of _SLAB_GROUP: a
+    # truncating grid (nsb // _SLAB_GROUP) would leave tail sub-blocks'
+    # e_sub rows UNWRITTEN (worst case grid=(0,): garbage liveness bits
+    # silently dropping hits, e.g. SAILOR_SWEEP_SUB=512 with 2048 rays).
+    nsb_p = common.round_up(max(nsb, 1), _SLAB_GROUP)
+    if nsb_p != nsb:
+        pad_rows = (nsb_p - nsb) * SUB
+        # dead pad rays: d=0 rows take the |d|>1e-12 -> inv=1e12 branch
+        # and tmax=-inf rejects every cluster, so pad e_sub rows are +inf
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad_rows, feats.shape[1]), feats.dtype)], 0)
+        tmax = jnp.concatenate(
+            [tmax.reshape(-1), jnp.full((pad_rows,), -jnp.inf, tmax.dtype)])
+    grid = (nsb_p // _SLAB_GROUP,)
     out = common.pallas_call(
         functools.partial(_slab_entry_kernel, sub=SUB),
         grid=grid,
@@ -229,10 +243,10 @@ def _slab_entry_sub(scene: "SweepScene", feats, tmax, rpad: int):
             pl.BlockSpec((8, cp), lambda s: (0, 0)),
         ],
         out_specs=pl.BlockSpec((_SLAB_GROUP, cp), lambda s: (s, 0)),
-        out_shape=jax.ShapeDtypeStruct((nsb, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nsb_p, cp), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(feats, tmax.reshape(rpad, 1), cl)
-    return out[:, :nc]
+    )(feats, tmax.reshape(nsb_p * SUB, 1), cl)
+    return out[:nsb, :nc]
 
 
 def _sweep_kernel(sc_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
