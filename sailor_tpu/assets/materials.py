@@ -560,6 +560,64 @@ def sample_texture_lod(flat, n_layers: int, mip_sizes: tuple, layer, uv,
     return lo + (hi - lo) * lf
 
 
+class MaterialLibrary:
+    """Ordered set of .mat assets -> one device MaterialTable, rebuilt on
+    hot reload — the consumer side of Material::OnHotReload
+    (/root/reference/Runtime/AssetRegistry/Material/MaterialImporter.cpp:53):
+    the reference's editor patches a material asset, the importer fires the
+    hot-reload hook, and the RHI material rebuilds so the NEXT frame
+    reflects the edit. Here the rebuilt artifact is the MaterialTable
+    pytree; ``version`` bumps let renderers detect the swap.
+
+    ``paths``: .mat file paths; list index == the material_id mesh
+    renderers reference (MeshRendererComponent.material_id). Sampler keys
+    ``baseSampler``/``albedoSampler`` -> albedo texture,
+    ``normalSampler`` -> normal map, loaded through the same registry.
+    """
+
+    def __init__(self, registry, paths, texture_size: int = 64,
+                 mips: bool = False):
+        self.registry = registry
+        self.paths = [str(p) for p in paths]
+        self.texture_size = texture_size
+        self.mips = mips
+        self.version = 0
+        self.table: MaterialTable | None = None
+        registry.add_hot_reload_listener(self._on_hot_reload)
+        self.rebuild()
+
+    def _on_hot_reload(self, info) -> None:
+        if info.path in self.paths:
+            self.rebuild()
+
+    def rebuild(self) -> None:
+        import numpy as np
+
+        assets = [self.registry.load(p) for p in self.paths]
+        rows = [a.to_table_row() for a in assets]
+        table = {k: [r[k] for r in rows] for k in rows[0]}
+        images, tex_index = [], {}
+        a_tex = np.full(len(assets), -1, np.int32)
+        n_tex = np.full(len(assets), -1, np.int32)
+        for i, a in enumerate(assets):
+            for key, target in (("baseSampler", a_tex),
+                                ("albedoSampler", a_tex),
+                                ("normalSampler", n_tex)):
+                rel = a.samplers.get(key)
+                if not rel:
+                    continue
+                if rel not in tex_index:
+                    tex_index[rel] = len(images)
+                    images.append(np.asarray(self.registry.load(rel)))
+                target[i] = tex_index[rel]
+        table["albedo_texture"] = a_tex
+        table["normal_texture"] = n_tex
+        self.table = MaterialTable.from_host(
+            table, images, texture_size=self.texture_size, mips=self.mips,
+        )
+        self.version += 1
+
+
 # ---------------------------------------------------------------------------
 # .mat YAML import (MaterialImporter parity)
 # ---------------------------------------------------------------------------

@@ -102,6 +102,43 @@ class EditorServer:
                     break
         return True
 
+    # -- live asset patching (editor ViewModels -> hot reload) --------------------
+
+    def update_asset(self, path: str, yaml_patch: str, registry=None) -> bool:
+        """Patch an asset file (e.g. a .mat's uniforms) and hot-reload it —
+        the inspector's asset-editing round trip: the reference's C# editor
+        ViewModels write the asset YAML and the engine re-imports it via
+        OnUpdateAssetInfo (Editor/ViewModels/, MaterialImporter.cpp:53).
+        The patch deep-merges into the existing document; listeners (e.g. a
+        MaterialLibrary) rebuild so the NEXT frame reflects the edit."""
+        reg = registry or getattr(self, "registry", None)
+        try:
+            with open(path) as f:
+                doc = yaml.safe_load(f) or {}
+        except OSError:
+            SAILOR_LOG("Editor: UpdateAsset unknown path %s", path)
+            return False
+
+        def merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    merge(dst[k], v)
+                else:
+                    dst[k] = v
+
+        patch = yaml.safe_load(yaml_patch) or {}
+        merge(doc, patch)
+        with open(path, "w") as f:
+            yaml.safe_dump(doc, f, sort_keys=False)
+        if reg is not None:
+            # bump past filesystem mtime granularity so is_expired() fires
+            info = reg.infos.get(path)
+            if info is not None:
+                info.load_time = 0.0
+            reg.check_hot_reload()
+        SAILOR_LOG("Editor: UpdateAsset %s", path)
+        return True
+
     # -- message queue (GetMessages) ----------------------------------------------
 
     def get_messages(self, max_count: int = 64) -> list[str]:

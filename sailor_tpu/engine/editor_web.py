@@ -214,6 +214,15 @@ class EditorWebApp:
             iid = (q.get("id") or [""])[0]
             ok = self.editor.update_object(iid, body.decode())
             return 200, "application/json", json.dumps({"ok": ok}).encode()
+        if method == "POST" and url.path == "/api/asset/update":
+            # inspector asset editing: patch a .mat (or any YAML asset) and
+            # hot-reload it so the viewport reflects the edit next frame
+            q = parse_qs(url.query)
+            rel = (q.get("path") or [""])[0]
+            ok = self.editor.update_asset(
+                rel, body.decode(), registry=self._registry()
+            )
+            return 200, "application/json", json.dumps({"ok": ok}).encode()
         if method == "GET" and url.path == "/api/content":
             # content browser (Editor/ViewModels AssetsViewModel analog):
             # the AssetRegistry's scanned files with ids + kinds

@@ -151,6 +151,9 @@ class World:
         self.game_objects: list[GameObject] = []
         self._pending_destroy: list[GameObject] = []
         self.time = 0.0
+        # optional MaterialLibrary (assets/materials.py): material_id on
+        # mesh renderers indexes its table; hot-reload edits swap the table
+        self.materials = None
 
     # -- systems ---------------------------------------------------------------
 
@@ -235,6 +238,8 @@ class World:
         return SceneView.create(
             geo, self.lighting.snapshot, frame, sky=sky, prev_frame=prev_frame,
             star_dirs=star_dirs, star_colors=star_colors,
+            materials=(self.materials.table
+                       if self.materials is not None else None),
         )
 
     # -- serialization (WorldPrefab round trip) ------------------------------------
