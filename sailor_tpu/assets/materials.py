@@ -69,6 +69,15 @@ class MaterialTable:
     # tex_quad — build_quad_stack_blocks DROPS all-absent blocks, so the
     # sampler must use the built layout, not assume albedo-first.
     quad_offsets: tuple = struct.field(pytree_node=False, default=())
+    # per-block sRGB flags when tex_quad is u8-quantized (empty = f32 rows)
+    quad_srgb: tuple = struct.field(pytree_node=False, default=())
+    # narrow (Gm*TPL, 4) albedo-alpha quad for the masked peel loop —
+    # masked-queue groups only; alpha_group remaps material -> block
+    tex_quad_alpha: jnp.ndarray | None = None
+    alpha_group: jnp.ndarray | None = None
+    # split-out mip-0 rows (tex_quad then holds levels 1..; see
+    # build_quad_stack split_mip0)
+    tex_quad_mip0: jnp.ndarray | None = None
 
     @property
     def has_mips(self) -> bool:
@@ -95,6 +104,8 @@ class MaterialTable:
             tuple(o for _, o in offsets), g, uv, lod,
             wrapc=self.quad_wrap[g] == 1,
             nearest=self.quad_filter[g] == 1,
+            srgb=self.quad_srgb,
+            flat0=self.tex_quad_mip0,
         )
         bmap = dict(zip((k for k, _ in offsets), out))
         albedo = bmap.get("albedo")
@@ -104,6 +115,25 @@ class MaterialTable:
             return (albedo, bmap["normal"] * 2.0 - 1.0,
                     self.normal_texture[mat_id] >= 0)
         return albedo, None, jnp.zeros(mat_id.shape, bool)
+
+    def sample_alpha(self, mat_id, uv, lod):
+        """Albedo-texture ALPHA only, from the narrow alpha-quad table —
+        the masked depth-peel's per-layer alpha test (2 gathers of 4-wide
+        rows; the combined table's wide rows cost ~7x more per gather on
+        large material sets). Falls back to sample_combined."""
+        if self.tex_quad_alpha is None:
+            tex, _, _ = self.sample_combined(mat_id, uv, lod)
+            return tex[..., 3]
+        g = self.quad_group[mat_id]
+        ga = (self.alpha_group[mat_id] if self.alpha_group is not None
+              else g)
+        out = sample_quad_blocks(
+            self.tex_quad_alpha, self.mip_sizes, ((0, 1),), ga, uv, lod,
+            wrapc=self.quad_wrap[g] == 1,
+            nearest=self.quad_filter[g] == 1,
+            srgb=self.quad_srgb[:1],
+        )
+        return out[0][..., 0]
 
     def sample_normal(self, mat_id, uv, lod=None):
         """Tangent-space normal from the material's normal map; returns
@@ -177,12 +207,20 @@ class MaterialTable:
         tex_quad = quad_group = quad_wrap = quad_filter = None
         quad_has_normal = False
         quad_offsets = ()
+        quad_srgb = ()
+        tex_quad_alpha = alpha_group = tex_quad_mip0 = None
         a_tex = np.asarray(table.get("albedo_texture", np.full(m, -1, np.int32)))
         n_tx = np.asarray(table.get("normal_texture", np.full(m, -1, np.int32)))
         if mips and n_tex:
-            (tex_quad, quad_group, quad_wrap, quad_filter,
-             quad_has_normal, quad_offsets, _qs) = build_quad_stack(
-                np.asarray(textures), a_tex, n_tx, wrap, filt)
+            import os as _os
+
+            (tex_quad, tex_quad_mip0, quad_group, quad_wrap, quad_filter,
+             quad_has_normal, quad_offsets, quad_srgb, tex_quad_alpha,
+             alpha_group, _qs) = build_quad_stack(
+                np.asarray(textures), a_tex, n_tx, wrap, filt,
+                quantize=_os.environ.get("SAILOR_QUAD_U8", "1") == "1",
+                masked=queues == QUEUE_MASKED,
+                split_mip0=_os.environ.get("SAILOR_QUAD_SPLIT", "1") == "1")
         return cls(
             tex_quad=tex_quad,
             quad_group=quad_group,
@@ -190,6 +228,10 @@ class MaterialTable:
             quad_filter=quad_filter,
             quad_has_normal=quad_has_normal,
             quad_offsets=quad_offsets,
+            quad_srgb=quad_srgb,
+            tex_quad_alpha=tex_quad_alpha,
+            alpha_group=alpha_group,
+            tex_quad_mip0=tex_quad_mip0,
             tex_lod=tex_lod,
             tex_wrap=jnp.asarray(wrap) if n_tex else None,
             tex_filter=jnp.asarray(filt) if n_tex else None,
@@ -336,7 +378,8 @@ def _quad_fold(img: np.ndarray, clamp: bool) -> np.ndarray:
 
 
 def build_quad_stack_blocks(textures: np.ndarray, blocks: list,
-                            wrap: np.ndarray, filt: np.ndarray):
+                            wrap: np.ndarray, filt: np.ndarray,
+                            quantize: tuple | None = None):
     """Combined per-material quad mip stack over arbitrary channel blocks.
 
     ``textures``: (N, S, S, 4) linear mip-0 layers. ``blocks``: list of
@@ -347,7 +390,17 @@ def build_quad_stack_blocks(textures: np.ndarray, blocks: list,
     included block at every (level, texel), neighbors folded by the wrap
     mode, missing maps filled with their neutral so the sampler needs no
     per-map masking. Returns (rows f32, group (M,), gwrap, gfilt,
-    block_offsets tuple of (off, nch), sizes)."""
+    block_offsets tuple of (off, nch), sizes).
+
+    ``quantize``: optional per-block sRGB flags (True = encode with the
+    2.2 transfer before rounding) — rows are stored UINT8. Sources are
+    8-bit images, so u8 + the sRGB transfer loses nothing vs the files;
+    what changes is filtering order (weights apply to encoded values,
+    decoded after the lerp — classic pre-sRGB-hardware filtering). The
+    point is the per-pixel gather: row tables beyond ~100 MB gather at
+    ~3 GB/s on v5e (measured, tools/diag_gather.py) — Sponza's 25-group
+    245 MB f32 table cost 93-120 ms PER (H*W)-row gather, 8 of which were
+    ~880 ms of the 977 ms frame; u8 shrinks it 4x (~20 ms/gather)."""
     s = textures.shape[1]
     sizes = []
     cur = s
@@ -410,37 +463,70 @@ def build_quad_stack_blocks(textures: np.ndarray, blocks: list,
             rows.append(np.concatenate(parts, axis=-1)
                         if len(parts) > 1 else parts[0])
     flat = np.concatenate(rows, axis=0).astype(np.float32)
+    if quantize is not None:
+        enc = np.empty_like(flat)
+        for bi, (off, nch) in enumerate(offsets):
+            blk = np.clip(flat[:, off:off + 4 * nch], 0.0, 1.0)
+            if bi < len(quantize) and quantize[bi]:
+                blk = blk ** (1.0 / 2.2)
+            enc[:, off:off + 4 * nch] = blk
+        flat = np.round(enc * 255.0).astype(np.uint8)
     return (jnp.asarray(flat), jnp.asarray(group), jnp.asarray(gwrap),
             jnp.asarray(gfilt), tuple(offsets), tuple(sizes))
 
 
 def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
-                       group, uv, lod, wrapc, nearest):
-    """Trilinear fetch of EVERY channel block with 2 row gathers.
+                       group, uv, lod, wrapc, nearest, srgb: tuple = (),
+                       flat0=None):
+    """Trilinear fetch of EVERY channel block with 2-3 row gathers.
 
-    ``flat``: (G * TPL, C) combined rows from build_quad_stack_blocks;
-    ``group``: (...,) int32 per-sample group; ``wrapc``/``nearest``:
-    (...,) bool per-sample sampler state. Returns a list of (..., nch)
-    arrays, one per block, in build order."""
+    ``flat``: (G * TPL, C) combined rows from build_quad_stack_blocks
+    (f32, or u8 when built with ``quantize`` — decoded before the lerp,
+    per-block 2.2 transfer from ``srgb``); ``group``: (...,) int32
+    per-sample group; ``wrapc``/``nearest``: (...,) bool per-sample
+    sampler state. Returns a list of (..., nch) arrays, one per block,
+    in build order.
+
+    ``flat0``: optional split-out mip-0 table (build_quad_stack
+    split_mip0) — ``flat`` then holds levels 1.. only. Mip 0 is 3/4 of
+    the rows but only lod<1 taps touch it, so the two trilinear taps hit
+    the 4x-smaller table and one extra (cheaper-per-row) gather serves
+    level 0; large material sets gather ~3x faster total."""
+    quantized = flat.dtype == jnp.uint8
     sizes = mip_sizes
     nlev = len(sizes)
+    split = flat0 is not None
+    lvl_sizes = sizes[1:] if split else sizes
     offs, acc = [], 0
-    for s in sizes:
+    for s in lvl_sizes:
         offs.append(acc)
         acc += s * s
-    tpl = acc
-    base = group * tpl
-    sizes_a = jnp.asarray(sizes, jnp.int32)
+    base = group * acc
+    base0 = group * (sizes[0] * sizes[0]) if split else None
+    sizes_a = jnp.asarray(lvl_sizes, jnp.int32)
     offs_a = jnp.asarray(offs, jnp.int32)
     lod = jnp.clip(lod, 0.0, nlev - 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
     lf = (lod - l0)[..., None]
     nearest = nearest[..., None]
 
-    def taps(lvl):
-        s = sizes_a[lvl]
-        off = offs_a[lvl]
-        sf = s.astype(jnp.float32)
+    def decode(q):
+        if not quantized:
+            return q
+        # decode BEFORE the filter (hardware-sampler semantics): u8 +
+        # per-block sRGB transfer is lossless vs the 8-bit sources;
+        # the pow is elementwise and fuses into the weight math
+        q = q.astype(jnp.float32) * (1.0 / 255.0)
+        if any(srgb):
+            dec = [q[..., boff:boff + 4 * nch] ** 2.2
+                   if bi < len(srgb) and srgb[bi]
+                   else q[..., boff:boff + 4 * nch]
+                   for bi, (boff, nch) in enumerate(block_offsets)]
+            q = jnp.concatenate(dec, axis=-1)
+        return q
+
+    def taps_from(table, tbase, s, off):
+        sf = s.astype(jnp.float32) if hasattr(s, "astype") else float(s)
         fx = uv[..., 0] * sf - 0.5
         fy = uv[..., 1] * sf - 0.5
         x0 = jnp.floor(fx).astype(jnp.int32)
@@ -456,7 +542,7 @@ def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
         ty = jnp.where((wrapc & (y0 < 0))[..., None], 0.0, ty)
         xw = jnp.where(wrapc, jnp.clip(x0, 0, s - 1), jnp.remainder(x0, s))
         yw = jnp.where(wrapc, jnp.clip(y0, 0, s - 1), jnp.remainder(y0, s))
-        q = flat[base + off + yw * s + xw]            # ONE row gather
+        q = decode(table[tbase + off + yw * s + xw])  # ONE row gather
         w00 = (1.0 - tx) * (1.0 - ty)
         w10 = tx * (1.0 - ty)
         w01 = (1.0 - tx) * ty
@@ -469,22 +555,54 @@ def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
                        + q[..., boff + 3 * nch:boff + 4 * nch] * w11)
         return out
 
-    t0 = taps(l0)
+    def taps(lvl):
+        # lvl indexes the FULL level list; the split table starts at 1
+        i = jnp.maximum(lvl - 1, 0) if split else lvl
+        return taps_from(flat, base, sizes_a[i], offs_a[i])
+
+    if split:
+        t0r = taps(jnp.maximum(l0, 1))
+        t00 = taps_from(flat0, base0, sizes[0], 0)
+        is0 = (l0 == 0)[..., None]
+        t0 = [jnp.where(is0, a0, ar) for a0, ar in zip(t00, t0r)]
+    else:
+        t0 = taps(l0)
     t1 = taps(jnp.minimum(l0 + 1, nlev - 1))
     return [a + (b - a) * lf for a, b in zip(t0, t1)]
 
 
 def build_quad_stack(textures: np.ndarray, a_tex: np.ndarray,
-                     n_tex: np.ndarray, wrap: np.ndarray, filt: np.ndarray):
+                     n_tex: np.ndarray, wrap: np.ndarray, filt: np.ndarray,
+                     quantize: bool = True, masked: np.ndarray | None = None,
+                     split_mip0: bool = True):
     """Raster-path combined stack: albedo RGBA [+ normal RGB] blocks.
-    Returns (rows, group, gwrap, gfilt, has_normal, sizes)."""
+    Returns (rows, rows_mip0, group, gwrap, gfilt, has_normal, offsets,
+    srgb, alpha_rows, alpha_group, sizes).
+
+    ``quantize`` stores rows u8 (albedo sRGB-encoded, normal linear — see
+    build_quad_stack_blocks). Two further gather-table shrinks (the
+    per-pixel row gather runs at ~3 GB/s once a table outgrows ~50 MB,
+    tools/diag_gather.py):
+
+    - ``split_mip0``: mip 0 is 3/4 of every group's rows but only pixels
+      with lod < 1 touch it — it moves to its own ``rows_mip0`` table and
+      ``rows`` keeps levels 1.. (4x fewer rows), so the trilinear taps hit
+      the small table and only one extra gather pays the mip0 price.
+    - ``masked``: (M,) bool — the alpha-quad table for the depth-peel
+      alpha test keeps only groups reachable from Masked-queue materials
+      (``alpha_group`` remaps material -> alpha row block; identity when
+      ``masked`` is None). Sponza: 25 groups -> 1, the peel's 6 gathers
+      drop from 8.5 ms each to noise."""
     has_normal = bool((np.asarray(n_tex) >= 0).any())
     has_albedo = bool((np.asarray(a_tex) >= 0).any())
     blocks = [(a_tex, 4, (1.0, 1.0, 1.0, 1.0))]
+    qflags = [True]  # albedo: sRGB transfer (matches textures.load's ^2.2)
     if has_normal:
         blocks.append((n_tex, 3, (0.5, 0.5, 1.0)))
+        qflags.append(False)  # tangent-space vectors stay linear
     rows, group, gwrap, gfilt, offs, sizes = build_quad_stack_blocks(
-        textures, blocks, wrap, filt)
+        textures, blocks, wrap, filt,
+        quantize=tuple(qflags) if quantize else None)
     # build_quad_stack_blocks drops all-absent blocks (falling back to the
     # first when none survive) — label the survivors so the sampler reads
     # the layout it actually got.
@@ -493,7 +611,36 @@ def build_quad_stack(textures: np.ndarray, a_tex: np.ndarray,
     if not kinds:
         kinds = ["albedo"]
     offsets = tuple(zip(kinds, offs))
-    return rows, group, gwrap, gfilt, has_normal, offsets, sizes
+    srgb = tuple(k == "albedo" for k in kinds) if quantize else ()
+
+    tpl = sum(s * s for s in sizes)
+    ngroups = rows.shape[0] // tpl
+    alpha_rows = alpha_group = None
+    if kinds[0] == "albedo":
+        a_off = offsets[0][1][0]
+        acols = jnp.asarray([a_off + 3, a_off + 7, a_off + 11, a_off + 15])
+        g_np = np.asarray(group)
+        if masked is not None:
+            gm = np.unique(g_np[np.asarray(masked, bool)])
+        else:
+            gm = np.arange(ngroups)
+        if gm.size:
+            alpha_rows = jnp.concatenate([
+                rows[g * tpl:(g + 1) * tpl, :][:, acols] for g in gm
+            ]) if gm.size < ngroups else rows[:, acols]
+            remap = np.zeros(ngroups, np.int32)
+            remap[gm] = np.arange(gm.size, dtype=np.int32)
+            alpha_group = jnp.asarray(remap[g_np])
+
+    rows_mip0 = None
+    if split_mip0 and len(sizes) > 1:
+        s0sq = sizes[0] * sizes[0]
+        blocks3 = rows.reshape(ngroups, tpl, rows.shape[1])
+        rows_mip0 = blocks3[:, :s0sq].reshape(ngroups * s0sq, -1)
+        rows = blocks3[:, s0sq:].reshape(ngroups * (tpl - s0sq), -1)
+
+    return (rows, rows_mip0, group, gwrap, gfilt, has_normal, offsets,
+            srgb, alpha_rows, alpha_group, sizes)
 
 
 def sample_texture_lod(flat, n_layers: int, mip_sizes: tuple, layer, uv,

@@ -235,11 +235,20 @@ class World:
         star_dirs = star_colors = None
         if stars is not None:
             star_dirs, star_colors = stars
+        mats = self.materials.table if self.materials is not None else None
+        # per-source-triangle packed attrs: recompute only when the mesh
+        # soup object or the material table version changes (movement /
+        # topology / hot-reload), not per frame
+        key = (id(geo), id(mats))
+        if getattr(self, "_attrs_key", None) != key:
+            from sailor_tpu.raster.interpolate import pack_source_attributes
+
+            self._attrs_packed = pack_source_attributes(geo, mats)
+            self._attrs_key = key
         return SceneView.create(
             geo, self.lighting.snapshot, frame, sky=sky, prev_frame=prev_frame,
             star_dirs=star_dirs, star_colors=star_colors,
-            materials=(self.materials.table
-                       if self.materials is not None else None),
+            materials=mats, attrs_packed=self._attrs_packed,
         )
 
     # -- serialization (WorldPrefab round trip) ------------------------------------

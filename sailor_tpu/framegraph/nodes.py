@@ -252,9 +252,19 @@ class DepthPrepassNode(BaseNode):
         attrs = None
         if (ctx.config.get("fused_resolve", True)
                 and ctx.config.get("raster_mode", "stream") == "stream"):
-            attrs = interpolate.pack_triangle_attributes(
-                geo, tri.src_id, scene.materials
-            )
+            # pre-packed source table: one row gather instead of ~15
+            # per-frame attribute gathers (pack_source_attributes). The
+            # width check guards scenes whose materials were swapped in
+            # AFTER SceneView.create (scene.replace(materials=...)) — a
+            # stale material-less table must not feed a material resolve.
+            want = 49 if scene.materials is not None else 37
+            if (scene.attrs_packed is not None
+                    and scene.attrs_packed.shape[1] == want):
+                attrs = scene.attrs_packed[tri.src_id]
+            else:
+                attrs = interpolate.pack_triangle_attributes(
+                    geo, tri.src_id, scene.materials
+                )
         raster, overflow = _make_raster(
             tri, opaque_valid, aabb, tiles_y, tiles_x, ctx.config,
             capacity=capacity, rounds=rounds, attrs=attrs,
@@ -1052,10 +1062,15 @@ class RenderTransparentNode(BaseNode):
         t_attrs = None
         if (ctx.config.get("fused_resolve", True)
                 and ctx.config.get("raster_mode", "stream") == "stream"):
-            # own attrs table: the two-sided setup has its own src_id map
-            t_attrs = interpolate.pack_triangle_attributes(
-                geo, tri.src_id, mats
-            )
+            # own src_id map (two-sided setup), same source table
+            want = 49 if mats is not None else 37
+            if (scene.attrs_packed is not None
+                    and scene.attrs_packed.shape[1] == want):
+                t_attrs = scene.attrs_packed[tri.src_id]
+            else:
+                t_attrs = interpolate.pack_triangle_attributes(
+                    geo, tri.src_id, mats
+                )
         raster_t, _ = _make_raster(
             tri, tvalid, aabb, tiles_y, tiles_x, ctx.config,
             capacity=int(ctx.config.get("bin_capacity", 512)),

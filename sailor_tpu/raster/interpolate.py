@@ -111,6 +111,21 @@ def pack_triangle_attributes(geometry, src_id, materials=None):
     return jnp.concatenate(cols, axis=1)
 
 
+def pack_source_attributes(geometry, materials=None):
+    """pack_triangle_attributes over the ORIGINAL triangle list.
+
+    Every column of the packed table is per-SOURCE-triangle data (the
+    resolve solves barycentrics against the source triangle even for
+    near-clipped fragments), so the table is camera-independent: build it
+    ONCE per scene/topology change, and the per-frame path reduces to one
+    (R,)-row gather ``table[tri.src_id]`` instead of ~15 per-frame
+    gathers + concats (~2 ms at 49k tris, ~10 ms at 252k, measured)."""
+    t = geometry.indices.shape[0]
+    return pack_triangle_attributes(
+        geometry, jnp.arange(t, dtype=jnp.int32), materials
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
 def pixel_rays_strided(inv_view_projection, camera_position, height: int,
                        width: int, stride: int, row0=0,
@@ -211,10 +226,14 @@ def resolve_alpha(
     mat_id = px[..., 36].astype(jnp.int32)
     lod = (uv_screen_lod(uv, materials.textures.shape[1], tri_id >= 0)
            if materials.has_mips else None)
-    albedo, _, _, _ = materials.sample(mat_id, uv, lod)
+    if materials.has_quad and lod is not None:
+        alpha = materials.sample_alpha(mat_id, uv, lod)
+    else:
+        albedo, _, _, _ = materials.sample(mat_id, uv, lod)
+        alpha = albedo[..., 3]
     # vertex-color alpha modulates too (color columns 24:28 etc.)
     ca = px[..., 27] + px[..., 31] * u[..., 0] + px[..., 35] * v[..., 0]
-    return albedo[..., 3] * ca, materials.alpha_cutoff[mat_id]
+    return alpha * ca, materials.alpha_cutoff[mat_id]
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
@@ -523,9 +542,10 @@ def resolve_alpha_stream(
         lod = (uv_screen_lod(uv, materials.textures.shape[1], tri_id >= 0)
                if materials.has_mips else None)
         if materials.has_quad and lod is not None:
+            # narrow alpha-quad table: the peel only alpha-tests, so it
+            # skips the combined table's wide-row gathers
             mat_id = planes[12].astype(jnp.int32)
-            tex, _, _ = materials.sample_combined(mat_id, uv, lod)
-            alpha = tex[..., 3]
+            alpha = materials.sample_alpha(mat_id, uv, lod)
         else:
             a_layer = planes[21].astype(jnp.int32)
             tex = materials.sample_texture(a_layer, uv, lod)

@@ -68,6 +68,11 @@ SMEM_BUDGET = int(_os.environ.get("SAILOR_SWEEP_SMEM", str(1 << 20)))
 # fallback runs the original XLA (Rp, C) pass for A/B.
 FUSED_SLAB = _os.environ.get("SAILOR_SWEEP_FUSED_SLAB", "1") == "1"
 
+# Per-ray-block DMA walk (_sweep_kernel_dma): each block visits only its
+# live near-to-far cluster prefix with an in-kernel break, vs the dense
+# (block, cluster) grid. "0" keeps the grid kernel for A/B.
+DMA_SWEEP = _os.environ.get("SAILOR_SWEEP_DMA", "1") == "1"
+
 
 def scalar_bytes(scene: "SweepScene", num_rays: int) -> int:
     """Size of intersect()'s scalar-prefetch array for ``num_rays``."""
@@ -93,6 +98,10 @@ class SweepScene:
     num_tris: int = struct.field(pytree_node=False)
     n_clusters: int = struct.field(pytree_node=False)
     cluster: int = struct.field(pytree_node=False, default=CLUSTER)
+    # cluster-contiguous feature blocks for the DMA kernel: (C, 40, tb)
+    # f32, rows 0:24 = g_side, 24:40 = g_plane of that cluster — one
+    # contiguous async copy per visited cluster
+    g_cluster: jnp.ndarray | None = None
 
 
 def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, *,
@@ -147,6 +156,13 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, *,
     cl_min = tri_min.min(axis=1)
     cl_max = tri_max.max(axis=1)
 
+    # (C, 40, tb): per-cluster contiguous [g_side; g_plane] for the DMA
+    # kernel — one 40 KB async copy fetches a whole cluster's features
+    gc = np.concatenate([g, gp], axis=0)           # (40, Tp)
+    gc = np.transpose(
+        gc.reshape(40, nc, CLUSTER_), (1, 0, 2)
+    ).copy()                                       # (C, 40, tb)
+
     return SweepScene(
         g_side=jnp.asarray(g),
         g_plane=jnp.asarray(gp),
@@ -157,6 +173,7 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, *,
         num_tris=int(t),
         n_clusters=int(nc),
         cluster=CLUSTER_,
+        g_cluster=jnp.asarray(gc),
     )
 
 
@@ -359,6 +376,140 @@ def _sweep_kernel(sc_ref, f_ref, tmax_ref, gs_ref, gp_ref, id_ref,
             bound_ref[s] = subbits(newt)
 
 
+def _sweep_kernel_dma(sc_ref, f_ref, tmax_ref, gc_hbm, t_ref, i_ref,
+                      buf, sem, bound_ref, *, n_blocks: int,
+                      n_clusters: int, tb: int, any_hit: bool):
+    """Work-efficient sweep: grid (ray block,) — each program WALKS its
+    own near-to-far cluster list with a double-buffered async-copy
+    pipeline and stops at the ordered-traversal break.
+
+    The (block, visit) grid form pays a program step for every
+    (block, cluster) pair — 9.3k steps for 262k rays x 73 clusters —
+    although coherent blocks retire after the first handful of clusters
+    (the per-ray cluster density is ~0.04). Here the visit loop bound is
+    the block's LIVE count (finite slab entry), each iteration fetches
+    exactly one (40, tb) cluster feature block
+    (SweepScene.g_cluster) into VMEM, and the loop goes dead as soon as
+    every sub-block's best hit is nearer than the next cluster's entry —
+    entries are visit-sorted, so that test is a one-scalar break.
+    Scalar layout (ints): [e_sub bits (B*S*C) | visit cluster ids (B*C) |
+    block entry bits visit-sorted (B*C) | live count (B)].
+    """
+    b = pl.program_id(0)
+    nsub = t_ref.shape[0] // SUB
+    base_f = n_blocks * nsub * n_clusters + b * n_clusters
+    base_blk = n_blocks * (nsub + 1) * n_clusters + b * n_clusters
+    nlive = sc_ref[n_blocks * (nsub + 2) * n_clusters + b]
+
+    def subbits(arr):
+        return jnp.max(jax.lax.bitcast_convert_type(arr, jnp.int32))
+
+    t_ref[...] = tmax_ref[...]
+    i_ref[...] = jnp.full(i_ref.shape, -1, jnp.int32)
+    for s0 in range(nsub):
+        bound_ref[s0] = subbits(tmax_ref[pl.ds(s0 * SUB, SUB), :])
+
+    def cp(j, slot):
+        cid = sc_ref[base_f + j]
+        return pltpu.make_async_copy(
+            gc_hbm.at[cid], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(nlive > 0)
+    def _():
+        cp(0, 0).start()
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    def step(j, stop):
+        even = jax.lax.rem(j, 2) == 0
+
+        def body(slot: int):
+            cp(j, slot).wait()
+            cid = sc_ref[base_f + j]
+            gs = buf[slot, 0:24, :]
+            gp = buf[slot, 24:40, :]
+            for s in range(nsub):
+                @pl.when(sc_ref[(b * nsub + s) * n_clusters + j]
+                         < bound_ref[s])
+                def _(s=s):
+                    f = f_ref[pl.ds(s * SUB, SUB), :]
+                    f8 = f[:, 0:8]
+                    fp = f[:, 8:16]
+                    s0 = dot(f8, gs[0:8])
+                    s1 = dot(f8, gs[8:16])
+                    s2 = dot(f8, gs[16:24])
+                    num = dot(fp, gp[0:8])
+                    den = dot(fp, gp[8:16])
+                    agree = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
+                        jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
+                    )
+                    tval = num / jnp.where(den == 0.0, 1.0, den)
+                    best = t_ref[pl.ds(s * SUB, SUB), :]
+                    ok = agree & (den != 0.0) \
+                        & (tval > 1e-4) & (tval < best)
+                    if any_hit:
+                        found = jnp.any(ok, axis=1, keepdims=True)
+                        i_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
+                            found, 0, i_ref[pl.ds(s * SUB, SUB), :]
+                        )
+                        newt = jnp.where(found, -1.0, best)
+                        t_ref[pl.ds(s * SUB, SUB), :] = newt
+                    else:
+                        tm = jnp.where(ok, tval, jnp.inf)
+                        row_best = jnp.min(tm, axis=1, keepdims=True)
+                        gidx = cid * tm.shape[1] + jax.lax.broadcasted_iota(
+                            jnp.int32, tm.shape, 1
+                        )
+                        row_idx = jnp.max(
+                            jnp.where((tm == row_best) & ok, gidx, -1),
+                            axis=1, keepdims=True,
+                        )
+                        found = row_idx >= 0
+                        newt = jnp.where(found, row_best, best)
+                        t_ref[pl.ds(s * SUB, SUB), :] = newt
+                        i_ref[pl.ds(s * SUB, SUB), :] = jnp.where(
+                            found, row_idx, i_ref[pl.ds(s * SUB, SUB), :]
+                        )
+                    bound_ref[s] = subbits(newt)
+
+            # start the NEXT fetch only if some sub-block can still
+            # improve: visit entries are sorted, so a dead j+1 means all
+            # later steps are dead too (true ordered-traversal break)
+            maxb = bound_ref[0]
+            for s in range(1, nsub):
+                maxb = jnp.maximum(maxb, bound_ref[s])
+
+            @pl.when((j + 1 < nlive)
+                     & (sc_ref[base_blk + j + 1] < maxb))
+            def _():
+                cp(j + 1, 1 - slot).start()
+
+        @pl.when((stop == 0) & even)
+        def _():
+            body(0)
+
+        @pl.when((stop == 0) & ~even)
+        def _():
+            body(1)
+
+        # recompute the same break predicate for the carry (reads the
+        # post-update SMEM bounds — identical to the start condition)
+        maxb = bound_ref[0]
+        for s in range(1, nsub):
+            maxb = jnp.maximum(maxb, bound_ref[s])
+        live_next = (j + 1 < nlive) & (sc_ref[base_blk + j + 1] < maxb)
+        return jnp.where(stop == 1, 1,
+                         jnp.where(live_next, 0, 1)).astype(jnp.int32)
+
+    jax.lax.fori_loop(0, nlive, step,
+                      jnp.asarray(0, jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("any_hit", "sort_rays"))
 def intersect(scene: SweepScene, origin, direction, t_max=None, *,
               any_hit: bool = False, active=None, sort_rays: bool = False):
@@ -466,60 +617,104 @@ def intersect(scene: SweepScene, origin, direction, t_max=None, *,
     )
     e_bits = jax.lax.bitcast_convert_type(e_sub_p, jnp.int32).reshape(-1)
 
-    # hold-previous fetch per (b, j): dead steps re-point at the cluster
-    # of the last live step so the rhs block is not re-fetched. The visit
-    # order is not id-monotonic, so hold the last live STEP index and
-    # gather its cluster id.
-    blive = jnp.isfinite(e_sub_p).any(axis=1)                   # (B, C)
-    jlast = jax.lax.cummax(
-        jnp.where(blive, jnp.arange(nc, dtype=jnp.int32)[None, :], -1),
-        axis=1,
-    )
-    fetch = jnp.take_along_axis(order, jnp.maximum(jlast, 0), axis=1)
-    sc = jnp.concatenate([e_bits, fetch.reshape(-1)])
-
     def fmap(b, c, sc):
         return (b, 0)
-
-    def gmap(b, c, sc):
-        return (0, sc[nb * nsub * nc + b * nc + c])
 
     def omap(b, c, sc):
         return (b, 0)
 
-    kernel = functools.partial(
-        _sweep_kernel, n_blocks=nb, n_clusters=nc, any_hit=any_hit
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, nc),
-        in_specs=[
-            pl.BlockSpec((rb, 16), fmap),
-            pl.BlockSpec((rb, 1), omap),
-            pl.BlockSpec((24, tb), gmap),
-            pl.BlockSpec((16, tb), gmap),
-            pl.BlockSpec((1, tb), gmap),
-        ],
-        out_specs=(
-            pl.BlockSpec((rb, 1), omap),
-            pl.BlockSpec((rb, 1), omap),
-        ),
-        scratch_shapes=[pltpu.SMEM((nsub,), jnp.int32)],
-    )
-    best_t, best_i = common.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rpad, 1), jnp.int32),
-        ),
-        # RAY_BLOCK=4096 lhs blocks + double buffering brush the 16 MB
-        # default scoped limit; v5e has 128 MB physical VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(
-        sc, feats, tmax.reshape(rpad, 1),
-        scene.g_side, scene.g_plane, scene.tri_id[None, :],
-    )
+    if DMA_SWEEP and scene.g_cluster is not None:
+        # per-block walk: visit counts + visit-sorted block entry bits
+        blk_sorted = jnp.take_along_axis(e_blk, order, axis=1)   # (B, C)
+        blk_bits = jax.lax.bitcast_convert_type(blk_sorted, jnp.int32)
+        nlive = jnp.sum(jnp.isfinite(blk_sorted), axis=1).astype(jnp.int32)
+        sc = jnp.concatenate([
+            e_bits, order.reshape(-1), blk_bits.reshape(-1), nlive
+        ])
+        kernel = functools.partial(
+            _sweep_kernel_dma, n_blocks=nb, n_clusters=nc, tb=tb,
+            any_hit=any_hit,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((rb, 16), lambda b, sc: (b, 0)),
+                pl.BlockSpec((rb, 1), lambda b, sc: (b, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((rb, 1), lambda b, sc: (b, 0)),
+                pl.BlockSpec((rb, 1), lambda b, sc: (b, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 40, tb), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((nsub,), jnp.int32),
+            ],
+        )
+        best_t, best_i = common.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((rpad, 1), jnp.int32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20
+            ),
+        )(
+            sc, feats, tmax.reshape(rpad, 1), scene.g_cluster,
+        )
+    else:
+        # hold-previous fetch per (b, j): dead steps re-point at the
+        # cluster of the last live step so the rhs block is not
+        # re-fetched. The visit order is not id-monotonic, so hold the
+        # last live STEP index and gather its cluster id.
+        blive = jnp.isfinite(e_sub_p).any(axis=1)                # (B, C)
+        jlast = jax.lax.cummax(
+            jnp.where(blive, jnp.arange(nc, dtype=jnp.int32)[None, :], -1),
+            axis=1,
+        )
+        fetch = jnp.take_along_axis(order, jnp.maximum(jlast, 0), axis=1)
+        sc = jnp.concatenate([e_bits, fetch.reshape(-1)])
+
+        def gmap(b, c, sc):
+            return (0, sc[nb * nsub * nc + b * nc + c])
+
+        kernel = functools.partial(
+            _sweep_kernel, n_blocks=nb, n_clusters=nc, any_hit=any_hit
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nc),
+            in_specs=[
+                pl.BlockSpec((rb, 16), fmap),
+                pl.BlockSpec((rb, 1), omap),
+                pl.BlockSpec((24, tb), gmap),
+                pl.BlockSpec((16, tb), gmap),
+                pl.BlockSpec((1, tb), gmap),
+            ],
+            out_specs=(
+                pl.BlockSpec((rb, 1), omap),
+                pl.BlockSpec((rb, 1), omap),
+            ),
+            scratch_shapes=[pltpu.SMEM((nsub,), jnp.int32)],
+        )
+        best_t, best_i = common.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((rpad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((rpad, 1), jnp.int32),
+            ),
+            # RAY_BLOCK=4096 lhs blocks + double buffering brush the 16 MB
+            # default scoped limit; v5e has 128 MB physical VMEM
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        )(
+            sc, feats, tmax.reshape(rpad, 1),
+            scene.g_side, scene.g_plane, scene.tri_id[None, :],
+        )
     best_t = best_t.reshape(-1)
     best_i = best_i.reshape(-1)
     if sort_rays:

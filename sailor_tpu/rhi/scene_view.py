@@ -29,10 +29,20 @@ class SceneView:
     star_dirs: jnp.ndarray    # (S, 3) — pass zeros((0,3)) when disabled
     star_colors: jnp.ndarray  # (S, 3)
     materials: "object" = None  # optional MaterialTable (assets/materials.py)
+    # per-SOURCE-triangle packed attribute table
+    # (interpolate.pack_source_attributes) — camera-independent, so scenes
+    # that outlive one frame pre-pack it here and the frame graph reduces
+    # the per-frame attribute prep to one src_id row gather
+    attrs_packed: jnp.ndarray | None = None
 
     @classmethod
     def create(cls, geometry, lights, frame, sky=None, prev_frame=None,
-               star_dirs=None, star_colors=None, materials=None):
+               star_dirs=None, star_colors=None, materials=None,
+               pack_attrs: bool = True, attrs_packed=None):
+        if pack_attrs and attrs_packed is None and geometry is not None:
+            from sailor_tpu.raster.interpolate import pack_source_attributes
+
+            attrs_packed = pack_source_attributes(geometry, materials)
         return cls(
             geometry=geometry,
             lights=lights,
@@ -42,4 +52,5 @@ class SceneView:
             star_dirs=jnp.zeros((0, 3)) if star_dirs is None else jnp.asarray(star_dirs),
             star_colors=jnp.zeros((0, 3)) if star_colors is None else jnp.asarray(star_colors),
             materials=materials,
+            attrs_packed=attrs_packed,
         )

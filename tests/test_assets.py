@@ -284,11 +284,13 @@ def test_fbx_load_reference_content():
     assert len(np.unique(soup["material_id"])) >= 4
 
 
-def test_combined_quad_sampling_matches_per_layer():
+def test_combined_quad_sampling_matches_per_layer(monkeypatch):
     """sample_combined (one gather per mip level for albedo+normal) matches
-    the per-layer trilinear path bit-for-bit-ish across wrap modes, missing
-    maps, seams, and the full lod range (assets/materials.py
-    build_quad_stack; GraphicsDriver.h:326 sampler semantics)."""
+    the per-layer trilinear path across wrap modes, missing maps, seams,
+    and the full lod range (assets/materials.py build_quad_stack;
+    GraphicsDriver.h:326 sampler semantics) — bit-for-bit-ish with f32
+    rows, within the 1/255 quantization step with the default u8 rows
+    (sources are 8-bit, so u8+sRGB loses nothing vs the files)."""
     from sailor_tpu.assets.materials import MaterialTable
 
     rng = np.random.default_rng(0)
@@ -303,28 +305,37 @@ def test_combined_quad_sampling_matches_per_layer():
         "normal_texture": np.array([0, -1, -1, 2], np.int32),
     }
     meta = [{"clamping": "Clamp"}, {}, {"clamping": "Repeat"}]
-    mt = MaterialTable.from_host(table, imgs, texture_size=S,
-                                 sampler_meta=meta)
-    assert mt.has_quad and mt.quad_has_normal
-    assert mt.tex_quad.shape[-1] == 28
 
     H = W = 48
     mat_id = jnp.asarray(rng.integers(0, 4, (H, W)), jnp.int32)
     uv = jnp.asarray(rng.uniform(-0.2, 1.4, (H, W, 2)), jnp.float32)
     lod = jnp.asarray(rng.uniform(0, 3.5, (H, W)), jnp.float32)
 
-    alb_q, n_q, has_q = mt.sample_combined(mat_id, uv, lod)
-    a_layer = mt.albedo_texture[mat_id]
-    tex = mt.sample_texture(a_layer, uv, lod)
-    m_alb = np.asarray(a_layer >= 0)
-    d = np.abs(np.asarray(alb_q - tex)).max(-1)
-    assert d[m_alb].max() < 1e-5
-    # materials with no albedo map sample the neutral 1.0
-    assert np.allclose(np.asarray(alb_q)[~m_alb], 1.0)
+    for u8, split, tol in (("0", "0", 1e-5), ("1", "1", 6e-3)):
+        monkeypatch.setenv("SAILOR_QUAD_U8", u8)
+        monkeypatch.setenv("SAILOR_QUAD_SPLIT", split)
+        mt = MaterialTable.from_host(table, imgs, texture_size=S,
+                                     sampler_meta=meta)
+        assert mt.has_quad and mt.quad_has_normal
+        assert mt.tex_quad.shape[-1] == 28
+        if split == "1":
+            assert mt.tex_quad_mip0 is not None
+            assert mt.tex_quad.dtype == jnp.uint8
 
-    n_layer = mt.normal_texture[mat_id]
-    ntex = mt.sample_texture(n_layer, uv, lod)
-    m_n = np.asarray(n_layer >= 0)
-    dn = np.abs(np.asarray(n_q) - np.asarray(ntex[..., :3] * 2 - 1)).max(-1)
-    assert dn[m_n].max() < 1e-5
-    assert bool(jnp.all(has_q == (n_layer >= 0)))
+        alb_q, n_q, has_q = mt.sample_combined(mat_id, uv, lod)
+        a_layer = mt.albedo_texture[mat_id]
+        tex = mt.sample_texture(a_layer, uv, lod)
+        m_alb = np.asarray(a_layer >= 0)
+        d = np.abs(np.asarray(alb_q - tex)).max(-1)
+        assert d[m_alb].max() < tol
+        # materials with no albedo map sample the neutral 1.0
+        assert np.allclose(np.asarray(alb_q)[~m_alb], 1.0)
+
+        n_layer = mt.normal_texture[mat_id]
+        ntex = mt.sample_texture(n_layer, uv, lod)
+        m_n = np.asarray(n_layer >= 0)
+        dn = np.abs(
+            np.asarray(n_q) - np.asarray(ntex[..., :3] * 2 - 1)
+        ).max(-1)
+        assert dn[m_n].max() < tol
+        assert bool(jnp.all(has_q == (n_layer >= 0)))
