@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import yaml
@@ -219,8 +220,10 @@ class MaterialTable:
              alpha_group, _qs) = build_quad_stack(
                 np.asarray(textures), a_tex, n_tx, wrap, filt,
                 quantize=_os.environ.get("SAILOR_QUAD_U8", "1") == "1",
+                # split default OFF: with i32-packed lanes the extra mip0
+                # gather costs more than the smaller tables save (traced)
                 masked=queues == QUEUE_MASKED,
-                split_mip0=_os.environ.get("SAILOR_QUAD_SPLIT", "1") == "1")
+                split_mip0=_os.environ.get("SAILOR_QUAD_SPLIT", "0") == "1")
         return cls(
             tex_quad=tex_quad,
             quad_group=quad_group,
@@ -470,9 +473,25 @@ def build_quad_stack_blocks(textures: np.ndarray, blocks: list,
             if bi < len(quantize) and quantize[bi]:
                 blk = blk ** (1.0 / 2.2)
             enc[:, off:off + 4 * nch] = blk
-        flat = np.round(enc * 255.0).astype(np.uint8)
+        flat = pack_u8_rows(np.round(enc * 255.0).astype(np.uint8))
     return (jnp.asarray(flat), jnp.asarray(group), jnp.asarray(gwrap),
             jnp.asarray(gfilt), tuple(offsets), tuple(sizes))
+
+
+def pack_u8_rows(rows_u8: np.ndarray) -> np.ndarray:
+    """(R, C) u8 -> (R, ceil(C/4)) int32, 4 bytes per lane little-endian.
+
+    Per-pixel row gathers on v5e cost ~lanes x rows regardless of byte
+    width (measured: a (2M,)-row gather of 4-lane u8 rows is ~3x faster
+    than 28-lane u8 rows from the SAME table) — packing quarters the
+    lane count; unpack is elementwise shift/mask that fuses away."""
+    r, c = rows_u8.shape
+    cpad = -(-c // 4) * 4
+    if cpad != c:
+        rows_u8 = np.concatenate(
+            [rows_u8, np.zeros((r, cpad - c), np.uint8)], axis=1)
+    packed = np.ascontiguousarray(rows_u8).view(np.int32)  # (R, cpad/4)
+    return packed
 
 
 def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
@@ -492,7 +511,9 @@ def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
     the rows but only lod<1 taps touch it, so the two trilinear taps hit
     the 4x-smaller table and one extra (cheaper-per-row) gather serves
     level 0; large material sets gather ~3x faster total."""
-    quantized = flat.dtype == jnp.uint8
+    quantized = flat.dtype in (jnp.uint8, jnp.int32)
+    packed = flat.dtype == jnp.int32
+    nbytes = sum(4 * nch for _, nch in block_offsets)
     sizes = mip_sizes
     nlev = len(sizes)
     split = flat0 is not None
@@ -513,6 +534,13 @@ def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
     def decode(q):
         if not quantized:
             return q
+        if packed:
+            # unpack 4 little-endian bytes per i32 lane (pack_u8_rows):
+            # elementwise shift/mask, fuses into the weight math
+            parts = [(jax.lax.shift_right_logical(q, jnp.int32(8 * k))
+                      & 0xFF) for k in range(4)]
+            q = jnp.stack(parts, axis=-1).reshape(
+                q.shape[:-1] + (q.shape[-1] * 4,))[..., :nbytes]
         # decode BEFORE the filter (hardware-sampler semantics): u8 +
         # per-block sRGB transfer is lossless vs the 8-bit sources;
         # the pow is elementwise and fuses into the weight math
@@ -618,16 +646,25 @@ def build_quad_stack(textures: np.ndarray, a_tex: np.ndarray,
     alpha_rows = alpha_group = None
     if kinds[0] == "albedo":
         a_off = offsets[0][1][0]
-        acols = jnp.asarray([a_off + 3, a_off + 7, a_off + 11, a_off + 15])
+        r_np = np.asarray(rows)
+        if r_np.dtype == np.int32:
+            # packed rows: alpha = byte 3 of the albedo block's 4 lanes,
+            # re-packed as ONE i32 lane per row (cheapest possible gather)
+            lanes = r_np[:, a_off // 4:a_off // 4 + 4].view(np.uint32)
+            a8 = ((lanes >> 24) & 0xFF).astype(np.uint8)   # (R, 4)
+            alpha_full = np.ascontiguousarray(a8).view(np.int32)  # (R, 1)
+        else:
+            acols = [a_off + 3, a_off + 7, a_off + 11, a_off + 15]
+            alpha_full = r_np[:, acols]
         g_np = np.asarray(group)
         if masked is not None:
             gm = np.unique(g_np[np.asarray(masked, bool)])
         else:
             gm = np.arange(ngroups)
         if gm.size:
-            alpha_rows = jnp.concatenate([
-                rows[g * tpl:(g + 1) * tpl, :][:, acols] for g in gm
-            ]) if gm.size < ngroups else rows[:, acols]
+            blocks3a = alpha_full.reshape(ngroups, tpl, -1)
+            alpha_rows = jnp.asarray(
+                blocks3a[gm].reshape(gm.size * tpl, -1))
             remap = np.zeros(ngroups, np.int32)
             remap[gm] = np.arange(gm.size, dtype=np.int32)
             alpha_group = jnp.asarray(remap[g_np])

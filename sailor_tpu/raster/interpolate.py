@@ -356,9 +356,13 @@ def resolve_gbuffer(
 
 
 def _resolve_planes(sb, tri_id, inv_view_projection, camera_position, *,
-                    tiles_y, tiles_x, width, full_height, row0):
+                    tiles_y, tiles_x, width, full_height, row0,
+                    mode: str = "full"):
     """Dispatch one bin set through the fused resolve — the work-list grid
-    when the bins were built for it, the grid-k kernel otherwise."""
+    when the bins were built for it, the grid-k kernel otherwise.
+
+    ``mode="alpha"`` (work-list only): emit just the 5 depth-peel planes
+    [uv.x, uv.y, vertex alpha, mat id, cutoff] instead of all 29."""
     from sailor_tpu.raster import tile_raster
 
     common = dict(
@@ -370,7 +374,7 @@ def _resolve_planes(sb, tri_id, inv_view_projection, camera_position, *,
             sb["rows"], sb["big_rows"], tri_id,
             sb["starts"], sb["counts"], sb["n_big"],
             inv_view_projection, camera_position,
-            chunk=int(sb.get("chunk", 128)), **common,
+            chunk=int(sb.get("chunk", 128)), mode=mode, **common,
         )
     return tile_raster.resolve_stream(
         sb["rows"], sb["big_rows"], tri_id,
@@ -525,29 +529,44 @@ def resolve_alpha_stream(
 ):
     """resolve_alpha without the per-layer (H*W)-row gather: the fused
     kernel expands uv / vertex-color alpha / texture layer / cutoff from
-    the MASKED queue's bin windows. Returns (alpha (H, W), cutoff)."""
-    from sailor_tpu.raster import tile_raster
-
+    the MASKED queue's bin windows. On the work-list grid it uses the
+    5-plane ``mode="alpha"`` emit (the peel only alpha-tests; skipping
+    the other 24 full-frame plane writes cuts the per-layer floor ~4x).
+    Returns (alpha (H, W), cutoff)."""
     H, W = tri_id.shape
     fh = full_height if full_height is not None else H
+    slim = "worklist_grid" in stream_bins
     planes = _resolve_planes(stream_bins, tri_id, inv_view_projection,
                              camera_position, tiles_y=tiles_y,
                              tiles_x=tiles_x, width=W, full_height=fh,
-                             row0=row0)
+                             row0=row0, mode="alpha" if slim else "full")
     planes = [p[:H, :W] for p in planes]
-    uv = jnp.stack(planes[6:8], axis=-1)
-    color_a = planes[11]
-    cutoff = planes[27]
+    if slim:
+        uv = jnp.stack(planes[0:2], axis=-1)
+        color_a = planes[2]
+        mat_f = planes[3]
+        cutoff = planes[4]
+    else:
+        uv = jnp.stack(planes[6:8], axis=-1)
+        color_a = planes[11]
+        mat_f = planes[12]
+        cutoff = planes[27]
     if materials.textures.shape[0] > 0:
         lod = (uv_screen_lod(uv, materials.textures.shape[1], tri_id >= 0)
                if materials.has_mips else None)
         if materials.has_quad and lod is not None:
             # narrow alpha-quad table: the peel only alpha-tests, so it
             # skips the combined table's wide-row gathers
-            mat_id = planes[12].astype(jnp.int32)
+            mat_id = mat_f.astype(jnp.int32)
             alpha = materials.sample_alpha(mat_id, uv, lod)
-        else:
+        elif not slim:
             a_layer = planes[21].astype(jnp.int32)
+            tex = materials.sample_texture(a_layer, uv, lod)
+            alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
+        else:
+            # slim emit carries mat id, not the albedo layer — route
+            # through the material table's albedo_texture indirection
+            a_layer = materials.albedo_texture[mat_f.astype(jnp.int32)]
             tex = materials.sample_texture(a_layer, uv, lod)
             alpha = jnp.where(a_layer >= 0, tex[..., 3], 1.0)
     else:

@@ -317,10 +317,15 @@ def test_combined_quad_sampling_matches_per_layer(monkeypatch):
         mt = MaterialTable.from_host(table, imgs, texture_size=S,
                                      sampler_meta=meta)
         assert mt.has_quad and mt.quad_has_normal
-        assert mt.tex_quad.shape[-1] == 28
+        if u8 == "1":
+            # u8 rows ride 4-bytes-per-i32-lane packing (pack_u8_rows):
+            # 28 bytes -> 7 lanes, quartering the per-row gather cost
+            assert mt.tex_quad.dtype == jnp.int32
+            assert mt.tex_quad.shape[-1] == 7
+        else:
+            assert mt.tex_quad.shape[-1] == 28
         if split == "1":
             assert mt.tex_quad_mip0 is not None
-            assert mt.tex_quad.dtype == jnp.uint8
 
         alb_q, n_q, has_q = mt.sample_combined(mat_id, uv, lod)
         a_layer = mt.albedo_texture[mat_id]
