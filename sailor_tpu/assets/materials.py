@@ -119,9 +119,10 @@ class MaterialTable:
 
     def sample_alpha(self, mat_id, uv, lod):
         """Albedo-texture ALPHA only, from the narrow alpha-quad table —
-        the masked depth-peel's per-layer alpha test (2 gathers of 4-wide
-        rows; the combined table's wide rows cost ~7x more per gather on
-        large material sets). Falls back to sample_combined."""
+        the masked depth-peel's per-layer alpha test (ONE nearest-mip
+        gather of a 4-wide u8 row; the combined table's wide rows cost
+        ~7x more per gather on large material sets, and the hard cutoff
+        makes mip-lerp moot). Falls back to sample_combined."""
         if self.tex_quad_alpha is None:
             tex, _, _ = self.sample_combined(mat_id, uv, lod)
             return tex[..., 3]
@@ -133,6 +134,7 @@ class MaterialTable:
             wrapc=self.quad_wrap[g] == 1,
             nearest=self.quad_filter[g] == 1,
             srgb=self.quad_srgb[:1],
+            trilinear=False,
         )
         return out[0][..., 0]
 
@@ -496,7 +498,7 @@ def pack_u8_rows(rows_u8: np.ndarray) -> np.ndarray:
 
 def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
                        group, uv, lod, wrapc, nearest, srgb: tuple = (),
-                       flat0=None):
+                       flat0=None, trilinear: bool = True):
     """Trilinear fetch of EVERY channel block with 2-3 row gathers.
 
     ``flat``: (G * TPL, C) combined rows from build_quad_stack_blocks
@@ -588,6 +590,18 @@ def sample_quad_blocks(flat, mip_sizes: tuple, block_offsets: tuple,
         i = jnp.maximum(lvl - 1, 0) if split else lvl
         return taps_from(flat, base, sizes_a[i], offs_a[i])
 
+    if not trilinear:
+        # nearest-mip: ONE row gather per pixel (bilinear within the
+        # level still applies — the row IS the 2x2 footprint). Used by
+        # the depth-peel alpha test, where mip-lerp precision is moot
+        # against a hard cutoff but the second gather costs ~4 ms/layer.
+        ln = jnp.round(lod).astype(jnp.int32)
+        if split:
+            tnr = taps(jnp.maximum(ln, 1))
+            tn0 = taps_from(flat0, base0, sizes[0], 0)
+            is0 = (ln == 0)[..., None]
+            return [jnp.where(is0, a0, ar) for a0, ar in zip(tn0, tnr)]
+        return taps(ln)
     if split:
         t0r = taps(jnp.maximum(l0, 1))
         t00 = taps_from(flat0, base0, sizes[0], 0)
@@ -648,11 +662,13 @@ def build_quad_stack(textures: np.ndarray, a_tex: np.ndarray,
         a_off = offsets[0][1][0]
         r_np = np.asarray(rows)
         if r_np.dtype == np.int32:
-            # packed rows: alpha = byte 3 of the albedo block's 4 lanes,
-            # re-packed as ONE i32 lane per row (cheapest possible gather)
+            # packed rows: alpha = byte 3 of the albedo block's 4 lanes.
+            # Keep the (R, 4) u8 row layout — re-packing as ONE i32 lane
+            # was measured 4x SLOWER per gather (14.9 vs 3.7 ms at 2M
+            # pixels on v5e): the 1-lane table lowers to a 1-D s32
+            # gather, which misses the fast (sublane, lane)-tiled path.
             lanes = r_np[:, a_off // 4:a_off // 4 + 4].view(np.uint32)
-            a8 = ((lanes >> 24) & 0xFF).astype(np.uint8)   # (R, 4)
-            alpha_full = np.ascontiguousarray(a8).view(np.int32)  # (R, 1)
+            alpha_full = ((lanes >> 24) & 0xFF).astype(np.uint8)  # (R, 4)
         else:
             acols = [a_off + 3, a_off + 7, a_off + 11, a_off + 15]
             alpha_full = r_np[:, acols]

@@ -401,13 +401,20 @@ def rasterize_stream(setup, screen_aabb, order, starts, counts, big_ids,
 def _window_worklist(starts, counts, ntiles: int, chunk: int, nw_max: int):
     """Flatten ragged per-tile window segments into per-window work arrays.
 
-    Returns (wt, wk, wabs): for each of nw_max grid steps, the tile id,
-    the window index within its tile (-1 for dead tail steps), and the
-    absolute window-block index into the sorted rows array. Dead steps
-    repeat the last live entry's tile/block so Mosaic skips their DMA and
-    output flush. Every tile contributes >= 1 window (c1 >= c0 + 1), so
-    the work list is tile-major ascending and output revisits are
-    consecutive — the ragged/grouped-matmul grid pattern.
+    Returns (wt, wk, wabs, b0, b1): for each of nw_max grid steps, the
+    tile id, the window index within its tile (-1 for dead tail steps),
+    the absolute window-block index into the sorted rows array, and the
+    LIVE sub-chunk range [b0, b1) in CHUNK units within the window —
+    rows outside the tile's own [start, end) segment are provably
+    rejected (bin_sorted AABB guarantee), so kernels loop only b0..b1
+    and skip entirely when b1 == b0. Sparse queues (e.g. a masked peel
+    over a few dozen triangles) have one EMPTY window per tile; without
+    the skip every such window still paid the full chunk x npix
+    edge-test/MAC floor (~4.4 ms per pallas call at 1080p, measured).
+    Dead steps repeat the last live entry's tile/block so Mosaic skips
+    their DMA and output flush. Every tile contributes >= 1 window
+    (c1 >= c0 + 1), so the work list is tile-major ascending and output
+    revisits are consecutive — the ragged/grouped-matmul grid pattern.
     """
     starts = starts.astype(jnp.int32)
     counts = counts.astype(jnp.int32)
@@ -425,7 +432,11 @@ def _window_worklist(starts, counts, ntiles: int, chunk: int, nw_max: int):
     k = w - base
     wk = jnp.where(live, k, -1)
     wabs = c0[t] + jnp.where(live, k, jnp.maximum(spt[ntiles - 1] - 1, 0))
-    return t, wk, wabs
+    lo = jnp.clip(starts[t] - wabs * chunk, 0, chunk)
+    hi = jnp.clip(ends[t] - wabs * chunk, 0, chunk)
+    b0 = jnp.where(live, lo // CHUNK, 0)
+    b1 = jnp.where(live, (hi + CHUNK - 1) // CHUNK, 0)
+    return t, wk, wabs, b0, b1
 
 
 def _raster_kernel_worklist(sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
@@ -438,11 +449,15 @@ def _raster_kernel_worklist(sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
     paid kmax steps per tile while the median tile has 1-2 live windows —
     at TILE_H=16 that overhead swamped the 4x smaller per-candidate pixel
     work), and no kmax segment cap, so overflow is structurally zero.
+    Only the window's LIVE sub-chunks [b0, b1) are tested (see
+    _window_worklist) — an empty window costs just its carry.
     """
     p = pl.program_id(0)
     t = sc_ref[p]
     wk = sc_ref[nw + p]
-    n_big = sc_ref[3 * nw]
+    b0 = sc_ref[3 * nw + p]
+    b1 = sc_ref[4 * nw + p]
+    n_big = sc_ref[5 * nw]
 
     ti = t // ntx
     tj = t - ti * ntx
@@ -473,10 +488,10 @@ def _raster_kernel_worklist(sc_ref, rows_ref, big_ref, depth_ref, tid_ref,
         depth_ref[...] = best[0]
         tid_ref[...] = best[1]
 
-    @pl.when(wk >= 0)
+    @pl.when((wk >= 0) & (b1 > b0))
     def _():
         best = jax.lax.fori_loop(
-            0, chunk // CHUNK,
+            b0, b1,
             lambda b, c: test_sub(rows_ref, b * CHUNK, c),
             (depth_ref[...], tid_ref[...]),
         )
@@ -508,8 +523,10 @@ def rasterize_worklist(setup, screen_aabb, order, starts, counts, big_ids,
     # static bound: every tile needs >= 1 window; the remainder is bounded
     # by total rows / chunk (windows never overlap across tiles)
     nw_max = ntiles + rows.shape[0] // chunk
-    wt, wk, wabs = _window_worklist(starts, counts, ntiles, chunk, nw_max)
-    sc = jnp.concatenate([wt, wk, wabs, n_big.astype(jnp.int32)[None]])
+    wt, wk, wabs, b0, b1 = _window_worklist(
+        starts, counts, ntiles, chunk, nw_max)
+    sc = jnp.concatenate([wt, wk, wabs, b0, b1,
+                          n_big.astype(jnp.int32)[None]])
 
     def rows_map(p, sc):
         return (sc[2 * nw_max + p], 0)
@@ -1072,10 +1089,25 @@ def build_stream_rows(setup, screen_aabb, order, big_ids, attrs=None,
     return rows, big_rows, na
 
 
+_RESOLVE_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("SAILOR_RESOLVE_PRECISION", "high")]
+
+
 def _resolve_accumulate(acc_ref, rows, rowg0, tid_row, start, end,
                         use_range: bool, na: int):
     """Accumulate rows whose id wins its pixel into acc scratch — the
-    one-hot MXU selection shared by the grid-k and work-list kernels."""
+    one-hot MXU selection shared by the grid-k and work-list kernels.
+
+    Precision: the one-hot operand is EXACT in bf16, so the 3-pass HIGH
+    dot reconstructs the selected attr to 16 mantissa bits (hi + lo
+    bf16 split of the attrs; the cross term with the onehot's zero lo
+    vanishes) — relative error <= 2^-17, far below the u8 texture
+    quantization the pipeline already accepts, at half the MXU passes
+    of HIGHEST. Override with SAILOR_RESOLVE_PRECISION=highest for
+    exact-f32 A/Bs."""
     s_attr = rows[:, 17:17 + na]                  # (C, A)
     ids = rows[:, 16:17]                          # (C, 1) float ids
     match = (ids == tid_row) & (ids >= 0.0)       # (C, npix)
@@ -1089,7 +1121,7 @@ def _resolve_accumulate(acc_ref, rows, rowg0, tid_row, start, end,
         s_attr.T, onehot,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_RESOLVE_PRECISION,
     )                                              # (A, npix)
     acc_ref[...] += contrib
 
@@ -1269,7 +1301,13 @@ def _resolve_kernel_worklist(sc_ref, rows_ref, big_ref, tid_ref, par_ref,
         _resolve_accumulate(acc_ref, big_ref[...], 0, tid_row, start, end,
                             use_range=False, na=na)
 
-    @pl.when(wk >= 0)
+    # skip the window MAC when no row of this window lies in the tile's
+    # own [start, end) segment — such rows can't match any winner (the
+    # one-hot would be all-zero); sparse queues are mostly empty windows
+    live = (jnp.minimum(end, wabs * chunk + chunk)
+            > jnp.maximum(start, wabs * chunk))
+
+    @pl.when((wk >= 0) & live)
     def _():
         _resolve_accumulate(acc_ref, rows_ref[...], wabs * chunk, tid_row,
                             start, end, use_range=True, na=na)
@@ -1295,7 +1333,8 @@ def resolve_worklist(rows, big_rows, tid, starts, counts, n_big,
     starts = starts.astype(jnp.int32)
     counts = counts.astype(jnp.int32)
     nw_max = ntiles + rows.shape[0] // chunk
-    wt, wk, wabs = _window_worklist(starts, counts, ntiles, chunk, nw_max)
+    wt, wk, wabs, _b0, _b1 = _window_worklist(
+        starts, counts, ntiles, chunk, nw_max)
     # last-window flag: next entry belongs to a different tile (or is the
     # final live entry). Dead tail entries carry wk=-1 so they never match.
     nxt = jnp.concatenate([wt[1:], jnp.full((1,), -1, jnp.int32)])

@@ -67,6 +67,9 @@ def main():
                     help="group by op-name prefix instead of individual op")
     ap.add_argument("--scopes", action="store_true",
                     help="attribute to frame-graph node scopes via long_name")
+    ap.add_argument("--by-source", action="store_true",
+                    help="aggregate device time by the `source` file:line "
+                         "XLA metadata (true per-source-line profile)")
     args = ap.parse_args()
 
     events, names = load_events(args.trace_dir)
@@ -76,6 +79,12 @@ def main():
     total = sum(e["dur_us"] for e in events)
     agg = collections.defaultdict(lambda: [0, 0])  # key -> [usec, count]
     for e in events:
+        if args.by_source:
+            src = e["source"] or "(none)"
+            key = src.replace("/root/repo/", "")
+            agg[key][0] += e["dur_us"]
+            agg[key][1] += 1
+            continue
         if args.scopes:
             m = _SCOPE_RE.search(e["tf_op"] or "") or _SCOPE_RE.search(
                 e["long_name"] or "") or _SCOPE_RE.search(e["name"])
