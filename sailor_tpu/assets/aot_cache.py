@@ -215,7 +215,11 @@ def load_or_compile(fn, example_args: tuple, *, logical_key: str,
             from jax.experimental import serialize_executable as se
 
             with open(path, "rb") as f:
-                payload, in_tree, out_tree, n_dev = pickle.load(f)
+                raw = f.read()
+            if raw[:2] == b"\x78\x01":  # zlib header (see _store)
+                import zlib
+                raw = zlib.decompress(raw)
+            payload, in_tree, out_tree, n_dev = pickle.loads(raw)
             # deserialize_and_load defaults to ALL addressable devices;
             # a 1-device program loaded onto an 8-device client then
             # demands 8-sharded args — pin the original device count.
@@ -264,8 +268,14 @@ def _store(compiled, path: Path, label: str) -> None:
             n_dev = 1
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(f".tmp{os.getpid()}")
+        # executables are ~48% zero bytes (padded layout tables) — zlib-1
+        # compresses ~3x, cutting disk + warm-load IO; level 1 keeps the
+        # store under a few seconds for the ~600 MB content-scene entry
+        import zlib
+        blob = zlib.compress(
+            pickle.dumps((payload, in_tree, out_tree, n_dev)), 1)
         with open(tmp, "wb") as f:
-            pickle.dump((payload, in_tree, out_tree, n_dev), f)
+            f.write(blob)
         os.replace(tmp, path)
         log(f"aot-cache store {label}: {time.time() - t0:.1f}s, "
             f"{path.stat().st_size / 1e6:.0f} MB")

@@ -659,10 +659,15 @@ class EnvironmentNode(BaseNode):
 
         p = ctx.scene.sky
         res = int(ctx.config.get("env_resolution", 64))
+        # cache key via SCALAR pulls only: bulk-array device->host reads
+        # (np.asarray on a jnp array) intermittently stall forever over
+        # the axon tunnel (observed: warm-probe hung here >400 s);
+        # float() scalar pulls are the tunnel's reliable sync primitive.
         key = (res,) + tuple(
-            np.round(np.asarray(jnp.concatenate([
-                p.sun_direction, jnp.stack([p.sun_intensity, p.clouds_coverage])
-            ])), 4).tolist()
+            round(float(v), 4)
+            for v in (p.sun_direction[0], p.sun_direction[1],
+                      p.sun_direction[2], p.sun_intensity,
+                      p.clouds_coverage)
         )
         if key == self._cache_key:
             # still publish into THIS graph's state: a fresh FrameGraph that

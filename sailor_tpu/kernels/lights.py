@@ -68,11 +68,25 @@ class Lights:
 
         n = len(types)
         capacity = capacity or max(1, n)
-        out = cls.empty(capacity)
+        # host-side numpy defaults mirroring cls.empty — building via
+        # empty() round-tripped every field device->host (np.asarray on
+        # a jnp array), 9 tunnel RTTs that intermittently STALLED the
+        # axon D2H path (observed: bench --warm-probe hung here >500 s)
+        defaults = {
+            "type": np.zeros(capacity, np.int32),
+            "shadow_type": np.zeros(capacity, np.int32),
+            "position": np.zeros((capacity, 3), np.float32),
+            "direction": np.tile(
+                np.asarray([[0.0, -1.0, 0.0]], np.float32), (capacity, 1)),
+            "intensity": np.zeros((capacity, 3), np.float32),
+            "attenuation": np.tile(
+                np.asarray([[1.0, 0.0, 0.0]], np.float32), (capacity, 1)),
+            "cutoff": np.zeros((capacity, 2), np.float32),
+            "radius": np.zeros(capacity, np.float32),
+        }
 
         def put(field, values, default=None):
-            arr = np.asarray(getattr(out, field))
-            arr = arr.copy()
+            arr = defaults[field]
             if values is not None:
                 arr[:n] = np.asarray(values)
             elif default is not None:

@@ -61,9 +61,17 @@ class SkyParams:
     @classmethod
     def default(cls, sun_direction=(-0.3, -0.4, -0.5), sun_intensity=20.0,
                 clouds_coverage=0.3, clouds_density=0.6):
-        f = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+        # HOST (numpy) leaves on purpose: EnvironmentNode.prepare reads
+        # these to build its bake cache key, and ANY device->host pull of
+        # a freshly-uploaded buffer can stall forever over the axon
+        # tunnel (three rounds of warm-probe hangs traced to exactly
+        # this). numpy leaves trace into jit identically; the arrays are
+        # a dozen scalars, so per-call re-hashing is noise.
+        import numpy as _np
+        f = lambda v: _np.float32(v)  # noqa: E731
+        sd = _np.asarray(sun_direction, _np.float32)
         return cls(
-            sun_direction=m3.normalize(jnp.asarray(sun_direction, jnp.float32)),
+            sun_direction=sd / _np.linalg.norm(sd),
             sun_intensity=f(sun_intensity),
             clouds_coverage=f(clouds_coverage),
             clouds_density=f(clouds_density),

@@ -1089,26 +1089,36 @@ def build_stream_rows(setup, screen_aabb, order, big_ids, attrs=None,
     return rows, big_rows, na
 
 
-_RESOLVE_PRECISION = {
-    "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
-    "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("SAILOR_RESOLVE_PRECISION", "high")]
+_RESOLVE_PRECISION = _os.environ.get("SAILOR_RESOLVE_PRECISION", "split")
+
+
+# attr-column slices the depth-peel alpha test needs: v0/e1/e2 (Moller-
+# Trumbore), uv0/duv1/duv2, the vertex-color ALPHA lanes of c0/dc1/dc2,
+# material id, alpha cutoff — 20 of the 49 attr cols. MACing only these
+# cuts the peel resolve's accumulate ~2.8x (the 5-plane emit alone kept
+# paying the full-width MAC). Compact acc layout (the "alpha" emit):
+# [0:9 geo | 9:15 uv interleaved | 15:18 alpha | 18 mat | 19 cutoff].
+_ALPHA_COLS = ((0, 9), (18, 24), (27, 28), (31, 32), (35, 37), (48, 49))
+_ALPHA_NA = sum(b - a for a, b in _ALPHA_COLS)  # 20
 
 
 def _resolve_accumulate(acc_ref, rows, rowg0, tid_row, start, end,
-                        use_range: bool, na: int):
+                        use_range: bool, na: int, cols=None):
     """Accumulate rows whose id wins its pixel into acc scratch — the
     one-hot MXU selection shared by the grid-k and work-list kernels.
 
-    Precision: the one-hot operand is EXACT in bf16, so the 3-pass HIGH
-    dot reconstructs the selected attr to 16 mantissa bits (hi + lo
-    bf16 split of the attrs; the cross term with the onehot's zero lo
-    vanishes) — relative error <= 2^-17, far below the u8 texture
-    quantization the pipeline already accepts, at half the MXU passes
-    of HIGHEST. Override with SAILOR_RESOLVE_PRECISION=highest for
+    Precision: the one-hot operand is EXACT in bf16, so a manual hi+lo
+    bf16 split of the attrs (two native-rate MXU passes; Mosaic lowers
+    only DEFAULT/HIGHEST) reconstructs the selected attr to 16 mantissa
+    bits — relative error <= 2^-17, far below the u8 texture
+    quantization the pipeline already accepts, at a third of HIGHEST's
+    six passes. Override with SAILOR_RESOLVE_PRECISION=highest for
     exact-f32 A/Bs."""
-    s_attr = rows[:, 17:17 + na]                  # (C, A)
+    if cols is not None:
+        s_attr = jnp.concatenate(
+            [rows[:, 17 + a:17 + b] for a, b in cols], axis=1)
+    else:
+        s_attr = rows[:, 17:17 + na]              # (C, A)
     ids = rows[:, 16:17]                          # (C, 1) float ids
     match = (ids == tid_row) & (ids >= 0.0)       # (C, npix)
     if use_range:
@@ -1116,13 +1126,33 @@ def _resolve_accumulate(acc_ref, rows, rowg0, tid_row, start, end,
             jnp.int32, (rows.shape[0], 1), 0
         ) + rowg0
         match &= (riota >= start) & (riota < end)
-    onehot = match.astype(jnp.float32)
-    contrib = jax.lax.dot_general(
-        s_attr.T, onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_RESOLVE_PRECISION,
-    )                                              # (A, npix)
+    dims = (((1,), (0,)), ((), ()))
+    if _RESOLVE_PRECISION == "split":
+        # 3-term bf16 decomposition: a = hi + mid + lo captures >= 24
+        # mantissa bits, and the one-hot operand is EXACT in bf16, so
+        # three native-rate MXU passes reproduce the HIGHEST (6-pass)
+        # result to f32 roundoff — a 2-term split was NOT enough: its
+        # 2^-17 error shifted clipped barycentrics / tangent signs on
+        # single edge pixels (observed on CPU parity tests).
+        ob = match.astype(jnp.bfloat16)
+        hi = s_attr.astype(jnp.bfloat16)
+        r1 = s_attr - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = sum(
+            jax.lax.dot_general(
+                part.T, ob, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            for part in (hi, mid, lo)
+        )                                          # (A, npix)
+    else:
+        onehot = match.astype(jnp.float32)
+        contrib = jax.lax.dot_general(
+            s_attr.T, onehot, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                          # (A, npix)
     acc_ref[...] += contrib
 
 
@@ -1237,11 +1267,13 @@ def _resolve_emit(outs, acc_ref, par_ref, ti, tj, *, na: int, npix: int,
             outs[i][...] = val.reshape(TILE_H, TILE_W)
 
         if mode == "alpha":
-            w(0, lerp3(18, 20, 22))   # uv.x
-            w(1, lerp3(19, 21, 23))   # uv.y
-            w(2, lerp3(27, 31, 35))   # vertex-color alpha
-            w(3, row(36))             # material id (f32)
-            w(4, row(48))             # alpha cutoff (Masked)
+            # compact acc layout from _ALPHA_COLS (geo rows 0:9 feed the
+            # shared Moller-Trumbore above)
+            w(0, lerp3(9, 11, 13))    # uv.x
+            w(1, lerp3(10, 12, 14))   # uv.y
+            w(2, lerp3(15, 16, 17))   # vertex-color alpha
+            w(3, row(18))             # material id (f32)
+            w(4, row(19))             # alpha cutoff (Masked)
             return
 
         w(0, v0x + e1x * u + e2x * v)
@@ -1294,12 +1326,13 @@ def _resolve_kernel_worklist(sc_ref, rows_ref, big_ref, tid_ref, par_ref,
     tj = t - ti * ntx
 
     tid_row = tid_ref[...].reshape(1, npix).astype(jnp.float32)
+    cols = _ALPHA_COLS if mode == "alpha" else None
 
     @pl.when(wk == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         _resolve_accumulate(acc_ref, big_ref[...], 0, tid_row, start, end,
-                            use_range=False, na=na)
+                            use_range=False, na=na, cols=cols)
 
     # skip the window MAC when no row of this window lies in the tile's
     # own [start, end) segment — such rows can't match any winner (the
@@ -1310,7 +1343,7 @@ def _resolve_kernel_worklist(sc_ref, rows_ref, big_ref, tid_ref, par_ref,
     @pl.when((wk >= 0) & live)
     def _():
         _resolve_accumulate(acc_ref, rows_ref[...], wabs * chunk, tid_row,
-                            start, end, use_range=True, na=na)
+                            start, end, use_range=True, na=na, cols=cols)
 
     @pl.when(wlast == 1)
     def _():
@@ -1385,7 +1418,8 @@ def resolve_worklist(rows, big_rows, tid, starts, counts, n_big,
         out_specs=tuple(
             pl.BlockSpec((TILE_H, TILE_W), pix_map) for _ in range(n_out)
         ),
-        scratch_shapes=[pltpu.VMEM((apad, npix), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (_ALPHA_NA if mode == "alpha" else apad, npix), jnp.float32)],
     )
     outs = common.pallas_call(
         kernel,
